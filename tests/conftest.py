@@ -1,0 +1,20 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so the
+multi-chip sharding paths are exercised without TPU hardware (the reference
+has no multi-node testing at all; see SURVEY.md section 4).
+
+Note: this image registers a remote-TPU ('axon') PJRT plugin at interpreter
+boot and pins JAX_PLATFORMS=axon; overriding the jax config here (before any
+backend is initialized) is the reliable way to keep tests local.
+"""
+
+import os
+
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)

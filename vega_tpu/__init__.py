@@ -1,0 +1,40 @@
+"""vega_tpu — TPU-native likelihood engine for Lyman-alpha forest
+correlation-function analyses (BAO and full-shape fits).
+
+A from-scratch JAX/XLA re-imagination of the capabilities of
+andreicuceu/vega: the whole model + chi^2 pipeline compiles to a single
+jitted function of the parameter vector, with vmap/shard_map batching of
+likelihood evaluations across TPU chips replacing the reference's MPI
+fan-out.
+"""
+
+__version__ = '0.1.0'
+
+# f64 everywhere: the correctness oracle is chi^2 agreement with the
+# reference at ~1e-8 relative. TPU runs can opt into mixed precision via
+# the precision knob on the likelihood builder.
+import jax as _jax
+
+_jax.config.update('jax_enable_x64', True)
+
+_EXPORTS = {
+    'VegaInterface': 'vega_tpu.vega_interface',
+    'BuildConfig': 'vega_tpu.build_config',
+    'FitResults': 'vega_tpu.postprocess.fit_results',
+    'VegaPlots': 'vega_tpu.plots.plot',
+    'Wedge': 'vega_tpu.plots.wedges',
+    'Shell': 'vega_tpu.plots.shell',
+    'RtWedge': 'vega_tpu.plots.rt_wedges',
+    'run_vega': 'vega_tpu.scripts.run_vega',
+}
+
+__all__ = list(_EXPORTS)
+
+
+def __getattr__(name):
+    # Lazy exports keep import-time light and avoid circular imports
+    if name in _EXPORTS:
+        import importlib
+        module = importlib.import_module(_EXPORTS[name])
+        return getattr(module, name)
+    raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

@@ -1,0 +1,207 @@
+"""Shared utilities: file resolution, bias/beta algebra, covariance helpers.
+
+TPU-native re-imagination of the reference's vega/utils.py. The numba-jitted
+scalar kernels there (sinc, hubble, growth) become plain jax/numpy ops here;
+the LRU caches are dropped entirely because everything downstream is traced
+into a single jitted likelihood (caching is the compiler's job).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+import vega_tpu
+
+BLIND_FIXED_PARS = [
+    'ap_full', 'at_full', 'aiso_full', 'epsilon_full', 'phi_full',
+]
+
+VEGA_BLINDED_PARS = {
+    'phi_smooth': ['all'],
+    'growth_rate': ['all'],
+}
+
+
+class VegaModelError(Exception):
+    """Base class for model-domain failures (reference: utils.py:444-453).
+
+    Under jit these become branchless penalty flags rather than Python
+    exceptions; this class survives for host-side (init-time) failures.
+    """
+
+
+class VegaBoundsError(VegaModelError):
+    pass
+
+
+class VegaArinyoError(VegaModelError):
+    pass
+
+
+def sinc(x):
+    """Unnormalized sinc sin(x)/x with sinc(0)=1 (reference: utils.py:28-42).
+
+    The reference divides blindly (returns nan at 0); the k grids used never
+    contain 0 so behaviour is identical where it matters, but we keep a safe
+    form so jit gradients are clean.
+    """
+    import jax.numpy as jnp
+    x = jnp.asarray(x)
+    safe = jnp.where(x == 0, 1.0, x)
+    return jnp.where(x == 0, 1.0, jnp.sin(safe) / safe)
+
+
+def np_sinc(x):
+    """Numpy twin of :func:`sinc` for host-side init work."""
+    x = np.asarray(x, dtype=float)
+    out = np.ones_like(x)
+    nz = x != 0
+    out[nz] = np.sin(x[nz]) / x[nz]
+    return out
+
+
+def _tracer_bias_beta(params, name):
+    """Resolve (bias, beta) for one tracer from any two of
+    (bias, bias_eta, beta) — reference: utils.py:45-82.
+
+    This is trace-time logic: which keys exist is static per config, the
+    arithmetic is traced.
+    """
+    growth_rate = params.get('growth_rate', 0.970386)
+
+    bias = params.get('bias_' + name, None)
+    bias_eta = params.get('bias_eta_' + name, None)
+    beta = params.get('beta_' + name, None)
+
+    err_msg = ('For each tracer, specify two of (bias, bias_eta, beta). '
+               f'Offending tracer: {name}')
+
+    if bias is None:
+        assert bias_eta is not None and beta is not None, err_msg
+        bias = bias_eta * growth_rate / beta
+
+    if bias_eta is None:
+        assert bias is not None and beta is not None, err_msg
+
+    if beta is None:
+        assert bias is not None and bias_eta is not None, err_msg
+        beta = bias_eta * growth_rate / bias
+
+    return bias, beta
+
+
+def bias_beta(params, tracer1_name, tracer2_name):
+    """(bias1, beta1, bias2, beta2) for a tracer pair (reference: utils.py:85-108)."""
+    bias1, beta1 = _tracer_bias_beta(params, tracer1_name)
+    if tracer1_name == tracer2_name:
+        bias2, beta2 = bias1, beta1
+    else:
+        bias2, beta2 = _tracer_bias_beta(params, tracer2_name)
+    return bias1, beta1, bias2, beta2
+
+
+def find_file(path):
+    """Resolve a path: absolute, vega_tpu/models, tests, repo root, or the
+    read-only reference checkout (for parity fixtures).
+
+    Mirrors reference utils.py:230-268 search order, extended with the
+    reference tree so parity tests can load the upstream data files without
+    copying them.
+    """
+    input_path = Path(os.path.expandvars(str(path)))
+
+    if input_path.is_file():
+        return input_path
+
+    pkg_path = Path(os.path.dirname(vega_tpu.__file__))
+    candidates = [
+        pkg_path / 'models' / input_path,
+        pkg_path.parents[0] / 'tests' / input_path,
+        pkg_path.parents[0] / input_path,
+    ]
+    # Reference checkout (read-only), used for parity fixtures only
+    ref = Path('/root/reference')
+    if ref.is_dir():
+        candidates += [
+            ref / 'vega' / 'models' / input_path,
+            ref / 'tests' / input_path,
+            ref / input_path,
+        ]
+    for cand in candidates:
+        if cand.is_file():
+            return cand
+
+    raise RuntimeError(f'The path/file does not exist: {input_path}')
+
+
+def compute_masked_invcov(cov_mat, data_mask, check_posdef=True):
+    """Masked inverse covariance (reference: utils.py:271-298).
+
+    Host-side init work; stays numpy/LAPACK.
+    """
+    masked_cov = cov_mat[np.ix_(data_mask, data_mask)]
+
+    if check_posdef:
+        try:
+            np.linalg.cholesky(cov_mat)
+        except np.linalg.LinAlgError:
+            print('WARNING: Full matrix is not positive definite')
+        try:
+            np.linalg.cholesky(masked_cov)
+        except np.linalg.LinAlgError:
+            print('WARNING: Reduced matrix is not positive definite')
+
+    return np.linalg.inv(masked_cov)
+
+
+def compute_log_cov_det(cov_mat, data_mask):
+    """log|C| of the masked covariance (reference: utils.py:301-318)."""
+    masked_cov = cov_mat[np.ix_(data_mask, data_mask)]
+    return np.linalg.slogdet(masked_cov)[1]
+
+
+def get_blinding(blind_pars, blinding_strat):
+    """Parameter-level blinding offsets (reference: utils.py:321-372).
+
+    The blinding files live on NERSC; outside that environment this always
+    returns None for the supported strategies, exactly like the reference.
+    """
+    assert blinding_strat is not None, 'Blinding failed, do not run!!!'
+    print(f'Blinding parameters: {blind_pars}')
+
+    if ('ap' in blind_pars) or ('at' in blind_pars) or ('alpha' in blind_pars):
+        blinding_type = 'bao'
+    elif ('growth_rate' in blind_pars) or ('phi_smooth' in blind_pars):
+        blinding_type = 'full-shape'
+    else:
+        raise ValueError(f'No blinding implemented for parameters {blind_pars}')
+
+    blinding_choices = {
+        'desi_y1': {'full-shape': None, 'bao': None},
+        'desi_y3': {'full-shape': None, 'bao': None},
+    }
+
+    if blinding_strat not in blinding_choices:
+        raise ValueError(f'Unknown blinding version: {blinding_strat}.')
+
+    blinding_file = blinding_choices[blinding_strat][blinding_type]
+    if blinding_file is None:
+        return None
+
+    blinding = {}
+    with np.load(blinding_file) as file:
+        for par in blind_pars:
+            if par not in VEGA_BLINDED_PARS:
+                raise ValueError(f'Blinding for parameter {par} not implemented.')
+            blinding[par] = float(file[par])
+    return blinding
+
+
+def apply_blinding(params, blinding):
+    """Apply blinding offsets in-place (reference: utils.py:375-393)."""
+    for par, val in blinding.items():
+        params[par] += (np.pi - np.exp(val ** 2))
+    return params
