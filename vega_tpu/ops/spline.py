@@ -82,10 +82,14 @@ def spline_eval(x_knots, y, second_derivs, x_query):
     x_hi = x_knots[j + 1]
     h = x_hi - x_lo
 
-    y_lo = jnp.take(y, j, axis=-1)
-    y_hi = jnp.take(y, j + 1, axis=-1)
-    m_lo = jnp.take(second_derivs, j, axis=-1)
-    m_hi = jnp.take(second_derivs, j + 1, axis=-1)
+    batch = jnp.broadcast_shapes(y.shape[:-1], j.shape[:-1])
+    y_b = jnp.broadcast_to(y, batch + y.shape[-1:])
+    m_b = jnp.broadcast_to(second_derivs, batch + second_derivs.shape[-1:])
+    j_b = jnp.broadcast_to(j, batch + j.shape[-1:])
+    y_lo = jnp.take_along_axis(y_b, j_b, axis=-1)
+    y_hi = jnp.take_along_axis(y_b, j_b + 1, axis=-1)
+    m_lo = jnp.take_along_axis(m_b, j_b, axis=-1)
+    m_hi = jnp.take_along_axis(m_b, j_b + 1, axis=-1)
 
     t_hi = (x_hi - xq) / h
     t_lo = (xq - x_lo) / h
