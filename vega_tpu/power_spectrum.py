@@ -1,0 +1,387 @@
+"""Anisotropic power-spectrum model P(k, mu_k) — the elementwise hot path.
+
+TPU-native counterpart of the reference's vega/power_spectrum.py. Three
+architectural differences:
+
+1. Everything in `compute` is jax-traceable: parameters arrive as (possibly
+   traced) scalars in a dict, all config branching happens at trace time,
+   and the whole multiplicative pipeline fuses into a single XLA kernel on
+   the (num_bins_muk x num_k) grid.
+2. The reference's value-dependent caches (HCD factor, peak-NL, Arinyo,
+   Gaussian smoothing LRUs; reference power_spectrum.py:311-324,407-417,
+   459-479) are deleted: under jit recompute is free and caching would
+   break functional purity.
+3. Failure modes (Arinyo NaN/Inf -> VegaArinyoError, reference
+   power_spectrum.py:468-469) become a penalty flag returned alongside the
+   result, which the likelihood turns into chi^2 = 1e100 branchlessly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import utils
+
+
+class PowerSpectrum:
+    """Power-spectrum model for one tracer pair.
+
+    Parity notes: matches reference power_spectrum.py:18-196 factor by
+    factor; golden-sum tests in tests/test_pk.py pin the agreement.
+    """
+
+    def __init__(self, config, fiducial, tracer1, tracer2, dataset_name=None):
+        self._config = config
+        self.tracer1_name = tracer1['name']
+        self.tracer2_name = tracer2['name']
+        self._corr_name = f'{self.tracer1_name}x{self.tracer2_name}'
+        self.tracer1_type = tracer1['type']
+        self.tracer2_type = tracer2['type']
+        self._name = dataset_name
+
+        self.k_grid = np.asarray(fiducial['k'], dtype=np.float64)
+        self._bin_size_rp = config.getfloat('bin_size_rp')
+        self._bin_size_rt = config.getfloat('bin_size_rt')
+        self.use_Gk = config.getboolean('model binning', True)
+        self.skip_nl_model_in_peak = config.getboolean(
+            'skip-nl-model-in-peak', False)
+
+        self.pk_damping_scale = config.getfloat('pk-damping-scale', None)
+        self.pk_damping_power = config.getint('pk-damping-power', 2)
+
+        self.hcd_model = config.get('model-hcd', None)
+        self._add_uvb = config.getboolean('UVB-fluctuations', False)
+        self._add_heii = config.getboolean('HeII-reionization', False)
+
+        self.small_scale_nl = config.get('small scale nl', None)
+        self.fullshape_smoothing = config.get('fullshape smoothing', None)
+        self.velocity_dispersion = config.get('velocity dispersion', None)
+        self.mock_bin_size = config.getfloat('mock-bin-size', None)
+        self.mock_los_smoothing = config.get('mock-los-smoothing', None)
+
+        # Fvoigt HCD profile table (reference: power_spectrum.py:59-68)
+        self._Fvoigt_data = None
+        if self.hcd_model is not None and 'fvoigt' in self.hcd_model:
+            assert 'fvoigt_model' in config.keys(), \
+                'No fvoigt_model specified in config'
+            fvoigt_model = config.get('fvoigt_model')
+            if '/' not in fvoigt_model:
+                path = utils.find_file(f'fvoigt_models/Fvoigt_{fvoigt_model}.txt')
+            else:
+                path = fvoigt_model
+            self._Fvoigt_data = np.loadtxt(path)
+
+        # Fiducial Pk rescaled to z_eff for the Arinyo Delta^2
+        # (reference: power_spectrum.py:72-73)
+        self._pk_fid = np.asarray(fiducial['pk_full']) * (
+            (1 + fiducial['z_fiducial']) / (1. + fiducial['z_eff'])) ** 2
+
+        num_bins_muk = config.getint('num_bins_muk', 1000)
+        muk_grid = (np.arange(num_bins_muk) + 0.5) / num_bins_muk
+        self.muk_grid = muk_grid[:, None]
+        self.k_par_grid = self.k_grid * self.muk_grid
+        self.k_trans_grid = self.k_grid * np.sqrt(1 - self.muk_grid ** 2)
+
+        # Static binning window G(k) (reference caches it lazily at
+        # power_spectrum.py:139-141; here it is init-time)
+        self.pk_Gk = None
+        if self.use_Gk:
+            self.pk_Gk = np.asarray(self._gk_window(
+                self._bin_size_rp, self._bin_size_rt))
+
+    # ------------------------------------------------------------------
+    # Main pipeline
+    # ------------------------------------------------------------------
+    def compute(self, pk_lin, params, fast_metals=False):
+        """Build P(k, mu_k); returns (pk, bad_flag).
+
+        Mirrors reference power_spectrum.py:87-196 stage by stage.
+        """
+        bad = jnp.asarray(False)
+
+        bias1, beta1, bias2, beta2 = utils.bias_beta(
+            params, self.tracer1_name, self.tracer2_name)
+
+        if self._add_uvb or self._add_heii:
+            if self.tracer1_name == 'LYA':
+                bias1, beta1 = self.compute_bias_beta_uv_heii(bias1, beta1, params)
+            if self.tracer2_name == 'LYA':
+                bias2, beta2 = self.compute_bias_beta_uv_heii(bias2, beta2, params)
+
+        if self.hcd_model is not None:
+            if self.tracer1_name == 'LYA':
+                bias1, beta1 = self.compute_bias_beta_hcd(bias1, beta1, params)
+            if self.tracer2_name == 'LYA':
+                bias2, beta2 = self.compute_bias_beta_hcd(bias2, beta2, params)
+
+        pk_full = jnp.asarray(pk_lin) * self.compute_kaiser(
+            bias1, beta1, bias2, beta2, fast_metals)
+
+        peak = bool(params['peak'])
+        skip_nl = self.skip_nl_model_in_peak and peak
+
+        if self.small_scale_nl is not None and not skip_nl:
+            if 'arinyo' in self.small_scale_nl:
+                dnl, dnl_bad = self.compute_dnl_arinyo(params)
+                pk_full = pk_full * dnl
+                bad = bad | dnl_bad
+            elif 'mcdonald' in self.small_scale_nl:
+                pk_full = pk_full * self.compute_dnl_mcdonald()
+            else:
+                raise ValueError("Incorrect 'small scale nl' specified")
+
+        if self.use_Gk:
+            pk_full = pk_full * self.pk_Gk
+
+        if self.mock_bin_size is not None:
+            pk_full = pk_full * self._compute_mock_binsize_gk(params)
+
+        if peak:
+            pk_full = pk_full * self.compute_peak_nl(params)
+
+        if self.fullshape_smoothing is not None and not skip_nl:
+            if 'gauss' in self.fullshape_smoothing:
+                pk_full = pk_full * self.compute_fullshape_gauss_smoothing(params)
+            elif 'exp' in self.fullshape_smoothing:
+                pk_full = pk_full * self.compute_fullshape_exp_smoothing(params)
+            else:
+                raise ValueError(
+                    '"fullshape smoothing" must be "gauss" or "exp"')
+
+        if self.velocity_dispersion is not None:
+            if 'lorentz_gauss' in self.velocity_dispersion:
+                pk_full = pk_full * self.compute_velocity_dispersion_lorentz(params)
+                pk_full = pk_full * self.compute_velocity_dispersion_gauss(params)
+            elif 'gauss' in self.velocity_dispersion:
+                pk_full = pk_full * self.compute_velocity_dispersion_gauss(params)
+            elif 'lorentz' in self.velocity_dispersion:
+                pk_full = pk_full * self.compute_velocity_dispersion_lorentz(params)
+            else:
+                raise ValueError(
+                    '"velocity dispersion" must be "gauss" or "lorentz"')
+
+        if self.pk_damping_scale is not None:
+            pk_full = pk_full * jnp.exp(
+                -self.pk_damping_scale ** 2
+                * self.k_grid ** self.pk_damping_power / 2)
+
+        return pk_full, bad
+
+    # ------------------------------------------------------------------
+    # Factors
+    # ------------------------------------------------------------------
+    def compute_kaiser(self, bias1, beta1, bias2, beta2, fast_metals=False):
+        """Kaiser term (reference: power_spectrum.py:198-222)."""
+        muk2 = self.muk_grid ** 2
+        pk = (1 + beta1 * muk2) * (1 + beta2 * muk2)
+        if not fast_metals:
+            pk = pk * (bias1 * bias2)
+        return pk
+
+    def compute_bias_beta_uv_heii(self, bias, beta, params):
+        """UV background fluctuations and HeII reionization effective
+        biases (reference: power_spectrum.py:224-261)."""
+        bias_eff = bias
+        if self._add_uvb:
+            bias_gamma = params['bias_gamma']
+            bias_prim = params['bias_prim']
+            lambda_uv = params['lambda_uv']
+            w_k = jnp.arctan(self.k_grid * lambda_uv) / (self.k_grid * lambda_uv)
+            bias_eff = bias_eff + bias_gamma * w_k / (1 + bias_prim * w_k)
+        if self._add_heii:
+            bias_gamma_e = params['bias_gamma_e']
+            bias_prim = params['bias_prim']
+            lambda_heii = params['lambda_HeII']
+            w_k = jnp.arctan(self.k_grid * lambda_heii) / (self.k_grid * lambda_heii)
+            bias_eff = bias_eff + bias_gamma_e * w_k / (1 + bias_prim * w_k)
+        beta_eff = beta * bias / bias_eff
+        return bias_eff, beta_eff
+
+    def compute_bias_beta_hcd(self, bias, beta, params):
+        """HCD effective biases (reference: power_spectrum.py:263-309).
+        Scale-dependent: promotes bias/beta to (muk, k) grids."""
+        bias_hcd = params.get(f'bias_hcd_{self._corr_name}', None)
+        if bias_hcd is None:
+            bias_hcd = params['bias_hcd']
+        beta_hcd = params.get(f'beta_hcd_{self._corr_name}', None)
+        if beta_hcd is None:
+            beta_hcd = params['beta_hcd']
+
+        if 'Rogers' in self.hcd_model:
+            # Fourier transform of a Lorentzian profile (Rogers et al. 2018)
+            f_hcd = jnp.exp(-params['L0_hcd'] * self.k_par_grid)
+        elif 'fvoigt' in self.hcd_model:
+            assert self._Fvoigt_data is not None
+            L0 = params.get('L0_fvoigt', 1.)
+            k_data = self._Fvoigt_data[:, 0]
+            f_data = self._Fvoigt_data[:, 1]
+            f_hcd = jnp.interp(L0 * self.k_par_grid, k_data, f_data,
+                               left=1., right=0.)
+        elif 'sinc' in self.hcd_model:
+            L0 = params.get('L0_sinc', 1.)
+            f_hcd = utils.sinc(self.k_par_grid * L0)
+        else:
+            raise ValueError(f'Unknown hcd model {self.hcd_model}. '
+                             "Choose from ['Rogers', 'fvoigt', 'sinc']")
+
+        bias_eff = bias + bias_hcd * f_hcd
+        beta_eff = (bias * beta + bias_hcd * beta_hcd * f_hcd) / bias_eff
+        return bias_eff, beta_eff
+
+    def compute_peak_nl(self, params):
+        """BAO peak non-linear broadening (reference:
+        power_spectrum.py:382-417)."""
+        sigma_par = params.get('sigmaNL_par', None)
+        sigma_trans = params.get('sigmaNL_per', None)
+        growth_rate = params.get('growth_rate')
+        if sigma_par is None and sigma_trans is not None:
+            sigma_par = sigma_trans * (1 + growth_rate)
+        elif sigma_trans is None and sigma_par is not None:
+            sigma_trans = sigma_par / (1 + growth_rate)
+        elif sigma_par is None and sigma_trans is None:
+            raise ValueError('No parameters for peak NL found. '
+                             'Add sigmaNL_par and/or sigmaNL_per.')
+        peak_nl = (self.k_par_grid ** 2 * sigma_par ** 2
+                   + self.k_trans_grid ** 2 * sigma_trans ** 2)
+        return jnp.exp(-peak_nl / 2)
+
+    def compute_dnl_mcdonald(self):
+        """McDonald 2003 non-linear term (reference:
+        power_spectrum.py:419-433)."""
+        assert self.tracer1_name == 'LYA' and self.tracer2_name == 'LYA'
+        kvel = 1.22 * (1 + self.k_grid / 0.923) ** 0.451
+        dnl = ((self.k_grid / 6.4) ** 0.569 - (self.k_grid / 15.3) ** 2.01
+               - (self.k_grid * self.muk_grid / kvel) ** 1.5)
+        return jnp.exp(dnl)
+
+    def compute_dnl_arinyo(self, params):
+        """Arinyo et al. 2015 non-linear term; returns (dnl, bad_flag)
+        (reference: power_spectrum.py:435-479)."""
+        two_lya = 'LY' in self.tracer1_name and 'LY' in self.tracer2_name
+        one_lya = 'LY' in self.tracer1_name or 'LY' in self.tracer2_name
+
+        q1 = params['dnl_arinyo_q1']
+        kv = params['dnl_arinyo_kv']
+        av = params['dnl_arinyo_av']
+        bv = params['dnl_arinyo_bv']
+        kp = params['dnl_arinyo_kp']
+        q2 = params.get('dnl_arinyo_q2', 0.)
+
+        delta_sq = self.k_grid ** 3 * self._pk_fid / (2 * np.pi ** 2)
+        growth = q1 * delta_sq + q2 * delta_sq ** 2
+        pec_velocity = (self.k_grid / kv) ** av * jnp.abs(self.muk_grid) ** bv
+        pressure = (self.k_grid / kp) * (self.k_grid / kp)
+        dnl = jnp.exp(growth * (1 - pec_velocity) - pressure)
+
+        bad = ~jnp.all(jnp.isfinite(dnl))
+        if two_lya:
+            return dnl, bad
+        if one_lya:
+            return jnp.sqrt(dnl), bad
+        return jnp.ones(dnl.shape), jnp.asarray(False)
+
+    def _gk_window(self, bin_size_rp, bin_size_rt):
+        """Binning window G(k) = sinc * sinc (reference:
+        power_spectrum.py:481-502). Accepts traced bin sizes."""
+        gk = 1.
+        if not (isinstance(bin_size_rp, float) and bin_size_rp == 0):
+            gk = gk * utils.sinc(self.k_par_grid * bin_size_rp / 2)
+        if not (isinstance(bin_size_rt, float) and bin_size_rt == 0):
+            gk = gk * utils.sinc(self.k_trans_grid * bin_size_rt / 2)
+        return gk
+
+    def compute_Gk(self, params):
+        """Binning window with per-dataset overrides (reference:
+        power_spectrum.py:481-502)."""
+        bin_size_rp = params.get(f'par binsize {self._name}', self._bin_size_rp)
+        bin_size_rt = params.get(f'per binsize {self._name}', self._bin_size_rt)
+        return self._gk_window(bin_size_rp, bin_size_rt)
+
+    def _compute_mock_binsize_gk(self, params):
+        """Mock pixelization smoothing (reference: power_spectrum.py:143-160)."""
+        bin_size = self.mock_bin_size
+        par_size, per_size = bin_size, bin_size
+        los = self.mock_los_smoothing
+        if los == 'growth':
+            par_size = bin_size * (1 + params['growth_rate'])
+        elif los == 'amplitude':
+            par_size = bin_size * (1 + params['los_smooth_amp'])
+        elif los == 'only-los':
+            per_size = 0.
+        elif los is not None:
+            raise ValueError(f'Unknown mock LOS smoothing option {los}.')
+        gk = utils.sinc(self.k_par_grid * par_size / 2)
+        if not (isinstance(per_size, float) and per_size == 0):
+            gk = gk * utils.sinc(self.k_trans_grid * per_size / 2)
+        return gk
+
+    def compute_fullshape_gauss_smoothing(self, params):
+        """Full-shape Gaussian smoothing (reference:
+        power_spectrum.py:504-553), incl. the squared variant and the
+        per-tracer / metal fallbacks."""
+        def gauss(sig_par, sig_trans):
+            return jnp.exp(-(self.k_par_grid ** 2 * sig_par ** 2
+                             + self.k_trans_grid ** 2 * sig_trans ** 2) / 2)
+
+        check1 = self.tracer1_name in ['LYA', 'QSO']
+        check2 = self.tracer2_name in ['LYA', 'QSO']
+
+        if ('par_sigma_smooth' in params) or ('per_sigma_smooth' in params):
+            sigma_par = params.get('par_sigma_smooth', None)
+            sigma_trans = params.get('per_sigma_smooth', None)
+            if sigma_par is None and sigma_trans is None:
+                raise ValueError(
+                    'Fullshape gaussian smoothing requested without '
+                    'par_sigma_smooth and/or per_sigma_smooth.')
+            if sigma_par is None:
+                sigma_par = sigma_trans
+            if sigma_trans is None:
+                sigma_trans = sigma_par
+            return gauss(sigma_par, sigma_trans) ** 2
+
+        if (('par_sigma_smooth_metals' in params)
+                and ('per_sigma_smooth_metals' in params)
+                and not (check1 and check2)):
+            return gauss(params['par_sigma_smooth_metals'],
+                         params['per_sigma_smooth_metals']) ** 2
+
+        return (gauss(params[f'par_sigma_smooth_{self.tracer1_name}'],
+                      params[f'per_sigma_smooth_{self.tracer1_name}'])
+                * gauss(params[f'par_sigma_smooth_{self.tracer2_name}'],
+                        params[f'per_sigma_smooth_{self.tracer2_name}']))
+
+    def compute_fullshape_exp_smoothing(self, params):
+        """Gaussian + exponential smoothing for london mocks
+        (reference: power_spectrum.py:560-586)."""
+        gauss_sm = (self.k_par_grid ** 2 * params['par_sigma_smooth'] ** 2
+                    + self.k_trans_grid ** 2 * params['per_sigma_smooth'] ** 2)
+        exp_sm = (jnp.abs(self.k_par_grid) * params['par_exp_smooth'] ** 2
+                  + jnp.abs(self.k_trans_grid) * params['per_exp_smooth'] ** 2)
+        return jnp.exp(-gauss_sm / 2) * jnp.exp(-exp_sm)
+
+    def compute_velocity_dispersion_gauss(self, params):
+        """Gaussian velocity dispersion (reference:
+        power_spectrum.py:588-611)."""
+        assert 'discrete' in (self.tracer1_type, self.tracer2_type)
+        smoothing = 1.
+        if self.tracer1_type == 'discrete':
+            sigma = params['sigma_velo_disp_gauss_' + self.tracer1_name]
+            smoothing = smoothing * jnp.exp(-0.25 * (self.k_par_grid * sigma) ** 2)
+        if self.tracer2_type == 'discrete':
+            sigma = params['sigma_velo_disp_gauss_' + self.tracer2_name]
+            smoothing = smoothing * jnp.exp(-0.25 * (self.k_par_grid * sigma) ** 2)
+        return smoothing * jnp.ones(self.k_par_grid.shape)
+
+    def compute_velocity_dispersion_lorentz(self, params):
+        """Lorentzian velocity dispersion (reference:
+        power_spectrum.py:613-636)."""
+        assert 'discrete' in (self.tracer1_type, self.tracer2_type)
+        smoothing = 1.
+        if self.tracer1_type == 'discrete':
+            sigma = params['sigma_velo_disp_lorentz_' + self.tracer1_name]
+            smoothing = smoothing / jnp.sqrt(1 + (self.k_par_grid * sigma) ** 2)
+        if self.tracer2_type == 'discrete':
+            sigma = params['sigma_velo_disp_lorentz_' + self.tracer2_name]
+            smoothing = smoothing / jnp.sqrt(1 + (self.k_par_grid * sigma) ** 2)
+        return smoothing * jnp.ones(self.k_par_grid.shape)
