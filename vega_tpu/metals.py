@@ -1,0 +1,437 @@
+"""Metal-contamination correlations.
+
+Counterpart of the reference's vega/metals.py. Structural changes for TPU:
+
+- The metal xi caches (reference: metals.py:144-207) are deleted — under
+  jit every metal sub-correlation is a handful of fused matmuls, so the
+  whole stack (~15 tracer pairs) is recomputed per eval and XLA batches
+  the identical-shaped pipelines.
+- Metal distortion matrices are dense f64 arrays applied as MXU matmuls
+  (or skipped entirely when the test flag substitutes the identity).
+- The new-metals distortion matrices from stacked-delta weights remain
+  host-side numpy at init (irregular histogram work; reference:
+  metals.py:502-752).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import coordinates as coordinates_mod
+from . import correlation_func as corr_func
+from . import pktoxi, power_spectrum, utils
+from .cosmo import ABSORBER_IGM
+from .io.fits import read_fits
+
+
+class Metals:
+    """Metal correlations for one correlation component
+    (reference: metals.py:13-142 for the configuration surface)."""
+
+    growth_rate = None
+    fast_metals = False
+
+    def __init__(self, corr_item, fiducial, scale_params, data=None):
+        self._corr_item = corr_item
+        self.cosmo = corr_item.cosmo
+        self._data = data
+        self.size = corr_item.model_coordinates.rp_grid.size
+        self._coordinates = corr_item.model_coordinates
+        self.rp_only_metal_mats = corr_item.config['model'].getboolean(
+            'rp_only_metal_mats', False)
+
+        self.zmin = corr_item.config['data'].getfloat('zmin', 0.0)
+        self.zmax = corr_item.config['data'].getfloat('zmax', 10.0)
+
+        self.separate_metal_auto_biases = corr_item.config['model'].getboolean(
+            'separate-metal-auto-biases', False)
+        self.single_metal_beta = corr_item.config['model'].getboolean(
+            'single-metal-beta', False)
+
+        self.fast_metals = corr_item.config['model'].getboolean(
+            'fast_metals', False)
+        self.fast_metal_bias = corr_item.config['model'].getboolean(
+            'fast_metal_bias', True)
+        if self.fast_metals or self.separate_metal_auto_biases:
+            self.fast_metal_bias = True
+
+        if 'growth_rate' in fiducial:
+            self.growth_rate = fiducial['growth_rate']
+
+        self.save_components = fiducial.get('save-components', False)
+        if self.save_components and (self.fast_metals
+                                     or self.separate_metal_auto_biases):
+            raise ValueError('Cannot save pk/cf components in fast_metals '
+                             'mode. Either turn fast_metals off, or turn off '
+                             'write_pk/write_cf.')
+        self.pk = {'peak': {}, 'smooth': {}, 'full': {}}
+        self.xi = {'peak': {}, 'smooth': {}, 'full': {}}
+        self.xi_distorted = {'peak': {}, 'smooth': {}, 'full': {}}
+
+        self.main_tracers = [corr_item.tracer1['name'],
+                             corr_item.tracer2['name']]
+        self.is_auto_correlation = (self.main_tracers[0]
+                                    == self.main_tracers[1])
+        self.main_tracer_types = [corr_item.tracer1['type'],
+                                  corr_item.tracer2['type']]
+
+        self.new_metals = corr_item.new_metals
+        if self.new_metals:
+            self.metal_matrix_config = corr_item.config['metal-matrix']
+            self.rp_nbins = self._coordinates.rp_nbins
+            self.rt_nbins = self._coordinates.rt_nbins
+
+        self.Pk_metal = {}
+        self.PktoXi = {}
+        self.Xi_metal = {}
+        self.rp_metal_dmats = {}
+        if corr_item.has_metals:
+            for corr_hash in corr_item.metal_correlations:
+                name1, name2 = corr_hash
+                tracer1 = corr_item.tracer_catalog[name1]
+                tracer2 = corr_item.tracer_catalog[name2]
+
+                if self.new_metals:
+                    if self.rp_only_metal_mats:
+                        dmat, rp, rt, z = self.compute_metal_rp_dmat(
+                            name1, name2)
+                    else:
+                        dmat, rp, rt, z = self.compute_metal_dmat(
+                            name1, name2)
+                    self.rp_metal_dmats[corr_hash] = dmat
+                    metal_coordinates = \
+                        coordinates_mod.Coordinates.init_from_grids(
+                            self._coordinates, rp, rt, z)
+                else:
+                    if corr_hash in data.metal_coordinates:
+                        metal_coordinates = data.metal_coordinates[corr_hash]
+                    else:
+                        metal_coordinates = \
+                            data.metal_coordinates[corr_hash[::-1]]
+
+                if self._data is not None:
+                    corr_item.config['metals']['bin_size_rp'] = \
+                        str(corr_item.data_coordinates.rp_binsize)
+                    corr_item.config['metals']['bin_size_rt'] = \
+                        str(corr_item.data_coordinates.rt_binsize)
+
+                self.Pk_metal[corr_hash] = power_spectrum.PowerSpectrum(
+                    corr_item.config['metals'], fiducial, tracer1, tracer2,
+                    corr_item.name)
+                self.PktoXi[corr_hash] = pktoxi.PktoXi.init_from_Pk(
+                    self.Pk_metal[corr_hash], corr_item.config['model'])
+                self.Xi_metal[corr_hash] = corr_func.CorrelationFunction(
+                    corr_item.config['metals'], fiducial, metal_coordinates,
+                    scale_params, tracer1, tracer2, metal_corr=True,
+                    cosmo=self.cosmo)
+
+    # ------------------------------------------------------------------
+    def compute_metal_corr(self, pars, pk_lin, corr_hash, fast_metals,
+                           add_metal_dmat=True, component=None):
+        """One metal sub-correlation (reference: metals.py:209-256).
+        Returns (xi, bad_flag)."""
+        pk, bad_pk = self.Pk_metal[corr_hash].compute(
+            pk_lin, pars, fast_metals=fast_metals)
+        xi, bad_xi = self.Xi_metal[corr_hash].compute(
+            pk, pk_lin, self.PktoXi[corr_hash], pars)
+        bad = bad_pk | bad_xi
+
+        # Cross-metal symmetry in autos (reference: metals.py:237-239)
+        if self.is_auto_correlation and corr_hash[0] != corr_hash[1]:
+            xi = xi * 2
+
+        if self.save_components:
+            assert not fast_metals, 'You need to set fast_metal_bias=False.'
+            assert component is not None, 'Provide a component name.'
+            self.pk[component][corr_hash] = np.asarray(pk)
+            self.xi[component][corr_hash] = np.asarray(xi)
+
+        if not add_metal_dmat:
+            return xi, bad
+
+        dmat_xi = self.apply_metal_matrix(xi, corr_hash)
+        if self.save_components:
+            self.xi_distorted[component][corr_hash] = np.asarray(dmat_xi)
+        return dmat_xi, bad
+
+    def compute(self, pars, pk_lin, component):
+        """Sum of all metal correlations (reference: metals.py:258-336).
+        Returns (xi_metals, bad_flag). All caching is gone: the bias
+        product factorization of the reference's fast-metals mode is
+        algebraically identical to recomputing, and recompute is free
+        under jit."""
+        assert self._corr_item.has_metals
+        local_pars = dict(pars)
+
+        if self.fast_metals:
+            if 'growth_rate' in local_pars and self.growth_rate is not None:
+                local_pars['growth_rate'] = self.growth_rate
+
+        xi_metals = jnp.zeros(self.size)
+        bad = jnp.asarray(False)
+        for corr_hash in self._corr_item.metal_correlations:
+            name1, name2 = corr_hash
+
+            if self.single_metal_beta:
+                if name1 not in self.main_tracers:
+                    local_pars[f'beta_{name1}'] = local_pars['beta_metals']
+                if name2 not in self.main_tracers:
+                    local_pars[f'beta_{name2}'] = local_pars['beta_metals']
+
+            bias1, beta1, bias2, beta2 = utils.bias_beta(
+                local_pars, name1, name2)
+            del beta1, beta2
+
+            is_cross_with_main = (name1 in self.main_tracers
+                                  or name2 in self.main_tracers)
+
+            if is_cross_with_main:
+                bias_product = bias1 * bias2
+            elif self.separate_metal_auto_biases and name1 != name2:
+                if f'bias_{name1}_{name2}' in local_pars:
+                    factor = local_pars[f'bias_{name1}_{name2}']
+                elif f'bias_{name2}_{name1}' in local_pars:
+                    factor = local_pars[f'bias_{name2}_{name1}']
+                else:
+                    raise ValueError(
+                        'Separate metal auto biases is on, but no '
+                        f'bias_{name1}_{name2} or bias_{name2}_{name1} '
+                        f'parameter found for {corr_hash}.')
+                bias_product = bias1 * bias2 * factor
+            else:
+                bias_product = bias1 * bias2
+
+            use_fast_bias = (self.fast_metals or self.fast_metal_bias)
+            xi, xi_bad = self.compute_metal_corr(
+                local_pars, pk_lin, corr_hash, fast_metals=use_fast_bias,
+                component=component)
+            bad = bad | xi_bad
+            if use_fast_bias:
+                xi_metals = xi_metals + bias_product * xi
+            else:
+                xi_metals = xi_metals + xi
+
+        return xi_metals, bad
+
+    def apply_metal_matrix(self, xi, corr_hash):
+        """(reference: metals.py:338-367); identity matrices (test mode)
+        are skipped entirely."""
+        if self.new_metals:
+            if self.rp_only_metal_mats:
+                dmat = jnp.asarray(self.rp_metal_dmats[corr_hash])
+                return (dmat @ xi.reshape(self.rp_nbins,
+                                          self.rt_nbins)).flatten()
+            return jnp.asarray(self.rp_metal_dmats[corr_hash]) @ xi
+
+        if corr_hash in self._data.metal_mats:
+            dmat = self._data.metal_mats[corr_hash]
+        else:
+            dmat = self._data.metal_mats[corr_hash[::-1]]
+        if dmat is None:  # identity substitute in test mode
+            return xi
+        return jnp.asarray(dmat) @ xi
+
+    # ------------------------------------------------------------------
+    # New-metals distortion matrices (host-side init work;
+    # reference: metals.py:369-752)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def rebin(vector, rebin_factor):
+        size = vector.size
+        return vector[:(size // rebin_factor) * rebin_factor].reshape(
+            (size // rebin_factor), rebin_factor).mean(-1)
+
+    def get_forest_weights(self, main_tracer):
+        """(reference: metals.py:389-416)"""
+        assert main_tracer['type'] == 'continuous'
+        hdul = read_fits(utils.find_file(main_tracer['weights-path']))
+        wave = 10 ** hdul[1]['LOGLAM']
+        weights = hdul[1]['WEIGHT']
+        rebin_factor = self.metal_matrix_config.getint('rebin_factor', None)
+        if rebin_factor is not None:
+            wave = self.rebin(wave, rebin_factor)
+            weights = self.rebin(weights, rebin_factor)
+        return wave, weights
+
+    def get_qso_weights(self, tracer):
+        """(reference: metals.py:418-449)"""
+        assert tracer['type'] == 'discrete'
+        hdul = read_fits(utils.find_file(tracer['weights-path']))
+        z_qso_cat = hdul[1]['Z']
+        z_ref = self.metal_matrix_config.getfloat('z_ref_objects', 2.25)
+        z_evol = self.metal_matrix_config.getfloat('z_evol_objects', 1.44)
+        qso_z_bins = self.metal_matrix_config.getint('z_bins_objects', 1000)
+        weights_cat = ((1. + z_qso_cat) / (1. + z_ref)) ** (z_evol - 1.)
+
+        histo_w, zbins = np.histogram(z_qso_cat, bins=qso_z_bins,
+                                      weights=weights_cat)
+        histo_wz, _ = np.histogram(z_qso_cat, bins=zbins,
+                                   weights=weights_cat * z_qso_cat)
+        selection = histo_w > 0
+        z_qso = histo_wz[selection] / histo_w[selection]
+        return z_qso, histo_w[selection]
+
+    def get_rp_pairs(self, z1, z2):
+        """(reference: metals.py:451-478)"""
+        if np.any(z1 < 0) or np.any(z2 < 0):
+            raise ValueError(
+                'Attempting to compute distance to a negative redshift')
+        r1 = self.cosmo.get_r_comov(z1)
+        r2 = self.cosmo.get_r_comov(z2)
+        rp_pairs = (r1[:, None] - r2[None, :]).ravel()
+        if 'discrete' not in self.main_tracer_types:
+            rp_pairs = np.abs(rp_pairs)
+        mean_distance = ((r1[:, None] + r2[None, :]) / 2).ravel()
+        return rp_pairs, mean_distance
+
+    def get_forest_weight_scaling(self, z, true_abs, assumed_abs):
+        """(reference: metals.py:480-500)"""
+        true_alpha = self.metal_matrix_config.getfloat(f'alpha_{true_abs}')
+        assumed_alpha = self.metal_matrix_config.getfloat(
+            f'alpha_{assumed_abs}', 2.9)
+        return (1 + z) ** (true_alpha + assumed_alpha - 2)
+
+    def _tracer_weights(self, tracer, main_idx, true_abs):
+        if self.main_tracer_types[main_idx] == 'continuous':
+            wave, weights = self.get_forest_weights(tracer)
+            true_z = wave / ABSORBER_IGM[true_abs] - 1.
+            assumed_z = wave / ABSORBER_IGM[self.main_tracers[main_idx]] - 1.
+            scaling = self.get_forest_weight_scaling(
+                true_z, true_abs, self.main_tracers[main_idx])
+        else:
+            true_z, weights = self.get_qso_weights(tracer)
+            assumed_z = true_z
+            scaling = 1.
+        return true_z, assumed_z, weights, scaling
+
+    def compute_metal_dmat(self, true_abs_1, true_abs_2):
+        """Full 2D (rp (x) rt) metal distortion matrix from stacked-delta
+        weights (reference: metals.py:502-654)."""
+        true_z1, assumed_z1, weights1, scaling_1 = self._tracer_weights(
+            self._corr_item.tracer1, 0, true_abs_1)
+        true_z2, assumed_z2, weights2, scaling_2 = self._tracer_weights(
+            self._corr_item.tracer2, 1, true_abs_2)
+
+        true_rp_pairs, true_mean_dist = self.get_rp_pairs(true_z1, true_z2)
+        assumed_rp_pairs, assumed_mean_dist = self.get_rp_pairs(
+            assumed_z1, assumed_z2)
+
+        weights = ((weights1 * scaling_1)[:, None]
+                   * (weights2 * scaling_2)[None, :]).ravel()
+        zpair = (assumed_z1[:, None] + assumed_z2[None, :]) / 2.
+        weights = weights * ((zpair >= self.zmin)
+                             & (zpair <= self.zmax)).ravel()
+
+        rp_edges = np.linspace(self._coordinates.rp_min,
+                               self._coordinates.rp_max, self.rp_nbins + 1)
+
+        rp_1d_dmat, _, _ = np.histogram2d(
+            assumed_rp_pairs, true_rp_pairs, bins=(rp_edges, rp_edges),
+            weights=weights)
+        col_sum = np.sum(rp_1d_dmat, axis=0)
+        rp_1d_dmat /= (col_sum + (col_sum == 0))
+
+        rt_edges = np.linspace(0, self._coordinates.rt_max,
+                               self.rt_nbins + 1)
+
+        # Distance-ratio histogram with solid-angle weighting, restricted
+        # to small true rp (reference: metals.py:585-588)
+        ratio_weights, ratio_bins = np.histogram(
+            assumed_mean_dist / true_mean_dist, bins=4 * rt_edges.size,
+            weights=weights / true_mean_dist ** 2
+            * (np.abs(true_rp_pairs) < 20.))
+        ratios = (ratio_bins[1:] + ratio_bins[:-1]) / 2
+
+        rt_centers = (rt_edges[:-1] + rt_edges[1:]) / 2
+        rt_half = self._coordinates.rt_binsize / 2
+        oversample = 7
+        delta_rt = np.linspace(-rt_half, rt_half * (1 - 2 / oversample),
+                               oversample)[None, :]
+        rt_1d_dmat = np.zeros((self.rt_nbins, self.rt_nbins))
+        for i, rt in enumerate(rt_centers):
+            rt_1d_dmat[:, i], _ = np.histogram(
+                (ratios[:, None] * (rt + delta_rt)[None, :]).ravel(),
+                bins=rt_edges,
+                weights=(ratio_weights[:, None]
+                         * (rt + delta_rt)[None, :]).ravel())
+        col_sum = np.sum(rt_1d_dmat, axis=0)
+        rt_1d_dmat /= (col_sum + (col_sum == 0))
+
+        n_total = self.rp_nbins * self.rt_nbins
+        dmat = np.einsum('ij,kl->ikjl', rp_1d_dmat, rt_1d_dmat).reshape(
+            n_total, n_total)
+
+        # Effective coordinates (reference: metals.py:624-654)
+        sum_w, _ = np.histogram(assumed_rp_pairs, bins=rp_edges,
+                                weights=weights)
+        sum_w_rp, _ = np.histogram(assumed_rp_pairs, bins=rp_edges,
+                                   weights=weights * assumed_rp_pairs)
+        sum_w_z, _ = np.histogram(
+            assumed_rp_pairs, bins=rp_edges,
+            weights=weights
+            * ((true_z1[:, None] + true_z2[None, :]) / 2.).ravel())
+        rp_eff_1d = sum_w_rp / (sum_w + (sum_w == 0))
+        z_eff_1d = sum_w_z / (sum_w + (sum_w == 0))
+
+        r1 = np.arange(self.rt_nbins) * self._coordinates.rt_max / self.rt_nbins
+        r2 = (1 + np.arange(self.rt_nbins)) * \
+            self._coordinates.rt_max / self.rt_nbins
+        rt_eff_1d = (2 * (r2 ** 3 - r1 ** 3)) / (3 * (r2 ** 2 - r1 ** 2))
+
+        full_index = np.arange(n_total)
+        rt_index = full_index % self.rt_nbins
+        rp_index = full_index // self.rt_nbins
+        return (dmat, rp_eff_1d[rp_index], rt_eff_1d[rt_index],
+                z_eff_1d[rp_index])
+
+    def compute_metal_rp_dmat(self, true_abs_1, true_abs_2):
+        """rp-only metal distortion matrix (reference: metals.py:656-752)."""
+        true_z1, assumed_z1, weights1, scaling_1 = self._tracer_weights(
+            self._corr_item.tracer1, 0, true_abs_1)
+        true_z2, assumed_z2, weights2, scaling_2 = self._tracer_weights(
+            self._corr_item.tracer2, 1, true_abs_2)
+
+        true_rp_pairs, _ = self.get_rp_pairs(true_z1, true_z2)
+        assumed_rp_pairs, _ = self.get_rp_pairs(assumed_z1, assumed_z2)
+
+        weights = ((weights1 * scaling_1)[:, None]
+                   * (weights2 * scaling_2)[None, :]).ravel()
+        zpair = (assumed_z1[:, None] + assumed_z2[None, :]) / 2.
+        weights = weights * ((zpair >= self.zmin)
+                             & (zpair <= self.zmax)).ravel()
+
+        rp_edges = np.linspace(self._coordinates.rp_min,
+                               self._coordinates.rp_max, self.rp_nbins + 1)
+        dmat, _, _ = np.histogram2d(
+            assumed_rp_pairs, true_rp_pairs, bins=(rp_edges, rp_edges),
+            weights=weights)
+        sum_true, _ = np.histogram(true_rp_pairs, bins=rp_edges,
+                                   weights=weights)
+        dmat *= ((sum_true > 0) / (sum_true + (sum_true == 0)))[None, :]
+
+        sum_w, _ = np.histogram(assumed_rp_pairs, bins=rp_edges,
+                                weights=weights)
+        sum_w_rp, _ = np.histogram(assumed_rp_pairs, bins=rp_edges,
+                                   weights=weights * assumed_rp_pairs)
+        sum_w_z, _ = np.histogram(
+            assumed_rp_pairs, bins=rp_edges,
+            weights=weights
+            * ((true_z1[:, None] + true_z2[None, :]) / 2.).ravel())
+        rp_eff = sum_w_rp / (sum_w + (sum_w == 0))
+        z_eff = sum_w_z / (sum_w + (sum_w == 0))
+
+        n_total = self.rp_nbins * self.rt_nbins
+        full_rp_eff = np.zeros(n_total)
+        full_rt_eff = np.zeros(n_total)
+        full_z_eff = np.zeros(n_total)
+        rp_indices = np.arange(self.rp_nbins)
+        rt_bins = np.arange(self._coordinates.rt_binsize / 2,
+                            self._coordinates.rt_max,
+                            self._coordinates.rt_binsize)
+        for j in range(self.rt_nbins):
+            indices = j + self.rt_nbins * rp_indices
+            full_rp_eff[indices] = rp_eff
+            full_rt_eff[indices] = rt_bins[j]
+            full_z_eff[indices] = z_eff
+        return dmat, full_rp_eff, full_rt_eff, full_z_eff

@@ -1,0 +1,158 @@
+"""Per-correlation model assembly: peak/smooth decomposition, metals,
+systematics, broadbands and the distortion matrix.
+
+Counterpart of the reference's vega/model.py. `compute` is jax-traceable
+end to end and returns (xi, bad_flag); the distortion matrix application
+is a dense MXU matmul (the reference uses a sparse csr dot,
+model.py:143-144).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import broadband_poly, metals
+from . import correlation_func as corr_func
+from . import pktoxi, power_spectrum
+
+
+class Model:
+    """Correlation model for one component (reference: model.py:8-77)."""
+
+    def __init__(self, corr_item, fiducial, scale_params, data=None):
+        self._corr_item = corr_item
+        self._model_pk = corr_item.model_pk
+
+        assert corr_item.model_coordinates is not None
+
+        self._data = data
+        data_has_distortion = False
+        if self._data is not None:
+            data_has_distortion = self._data.has_distortion
+        self._has_distortion_mat = (corr_item.has_distortion
+                                    and data_has_distortion)
+
+        corr_item.config['model']['bin_size_rp'] = \
+            str(corr_item.data_coordinates.rp_binsize)
+        corr_item.config['model']['bin_size_rt'] = \
+            str(corr_item.data_coordinates.rt_binsize)
+
+        self.save_components = fiducial.get('save-components', False)
+        if self.save_components:
+            self.pk = {'peak': {}, 'smooth': {}, 'full': {}}
+            self.xi = {'peak': {}, 'smooth': {}, 'full': {}}
+            self.xi_distorted = {'peak': {}, 'smooth': {}, 'full': {}}
+
+        self.broadband = None
+        if 'broadband' in corr_item.config:
+            self.broadband = broadband_poly.BroadbandPolynomials(
+                corr_item.config['broadband'], corr_item.name,
+                corr_item.model_coordinates, corr_item.dist_model_coordinates)
+
+        self.Pk_core = power_spectrum.PowerSpectrum(
+            corr_item.config['model'], fiducial, corr_item.tracer1,
+            corr_item.tracer2, corr_item.name)
+
+        self.PktoXi = pktoxi.PktoXi.init_from_Pk(
+            self.Pk_core, corr_item.config['model'])
+
+        self.Xi_core = corr_func.CorrelationFunction(
+            corr_item.config['model'], fiducial, corr_item.model_coordinates,
+            scale_params, corr_item.tracer1, corr_item.tracer2,
+            cosmo=corr_item.cosmo)
+
+        self.metals = None
+        if corr_item.has_metals:
+            self.metals = metals.Metals(corr_item, fiducial, scale_params,
+                                        data)
+            self.no_metal_decomp = corr_item.config['model'].getboolean(
+                'no-metal-decomp', True)
+
+        self._instrumental_systematics_flag = \
+            corr_item.config['model'].getboolean(
+                'desi-instrumental-systematics', False)
+
+        # Dense distortion matrix shipped to device once
+        self._dist_mat = None
+        if self._has_distortion_mat:
+            self._dist_mat = np.asarray(self._data.distortion_mat,
+                                        dtype=np.float64)
+
+    # ------------------------------------------------------------------
+    def _compute_model(self, pars, pk_lin, component='smooth',
+                       xi_metals=None):
+        """One component's correlation function (reference: model.py:79-155).
+        Returns (xi, bad_flag)."""
+        pk_model, bad = self.Pk_core.compute(pk_lin, pars)
+
+        if self._model_pk:
+            return self.PktoXi.compute_pk_ells(pk_model), bad
+
+        xi_model, xi_bad = self.Xi_core.compute(
+            pk_model, pk_lin, self.PktoXi, pars)
+        bad = bad | xi_bad
+
+        if self.save_components:
+            self.pk[component]['core'] = np.asarray(pk_model)
+            self.xi[component]['core'] = np.asarray(xi_model)
+
+        if self._corr_item.has_metals:
+            if self.no_metal_decomp and xi_metals is not None:
+                xi_model = xi_model + xi_metals
+            elif not self.no_metal_decomp:
+                xi_m, m_bad = self.metals.compute(pars, pk_lin, component)
+                xi_model = xi_model + xi_m
+                bad = bad | m_bad
+                if self.save_components:
+                    self.pk[component].update(self.metals.pk[component])
+                    self.xi[component].update(self.metals.xi[component])
+                    self.xi_distorted[component].update(
+                        self.metals.xi_distorted[component])
+
+        if self._instrumental_systematics_flag and component != 'peak':
+            xi_model = xi_model + \
+                self.Xi_core.compute_desi_instrumental_systematics(
+                    pars, self._corr_item.data_coordinates.rp_binsize)
+
+        if self.broadband is not None:
+            xi_model = xi_model * self.broadband.compute(pars, 'pre-mul')
+            xi_model = xi_model + self.broadband.compute(pars, 'pre-add')
+
+        if self._has_distortion_mat:
+            xi_model = jnp.asarray(self._dist_mat) @ xi_model
+
+        if self.broadband is not None:
+            xi_model = xi_model * self.broadband.compute(pars, 'post-mul')
+            xi_model = xi_model + self.broadband.compute(pars, 'post-add')
+
+        if self.save_components:
+            self.xi_distorted[component]['core'] = np.asarray(xi_model)
+
+        return xi_model, bad
+
+    def compute(self, pars, pk_full, pk_smooth):
+        """Peak/smooth decomposition (reference: model.py:157-187).
+        Returns (xi_full, bad_flag)."""
+        pars = dict(pars)
+        pars['peak'] = True
+        xi_peak, bad_peak = self._compute_model(
+            pars, np.asarray(pk_full) - np.asarray(pk_smooth), 'peak')
+
+        pars['peak'] = False
+        xi_metals = None
+        bad_metals = jnp.asarray(False)
+        if self._corr_item.has_metals and self.no_metal_decomp:
+            xi_metals, bad_metals = self.metals.compute(pars, pk_full, 'full')
+
+        xi_smooth, bad_smooth = self._compute_model(
+            pars, pk_smooth, 'smooth', xi_metals=xi_metals)
+
+        xi_full = pars['bao_amp'] * xi_peak + xi_smooth
+        return xi_full, bad_peak | bad_metals | bad_smooth
+
+    def compute_direct(self, pars, pk_full):
+        """Direct full-Pk model (reference: model.py:189-208)."""
+        pars = dict(pars)
+        pars['peak'] = False
+        return self._compute_model(pars, pk_full, 'full')

@@ -30,20 +30,27 @@ import numpy as np
 from scipy.special import loggamma
 
 
-def lowring_offset(delta: float, mu: float) -> float:
-    """ln(xy) closest to 0 satisfying the low-ringing condition.
+# Which low-ringing offset branch to use. Both satisfy the condition that
+# the Nyquist coefficient u_{N/2} is real (mod pi); they differ by integer
+# multiples of the grid spacing:
+#   'principal' — ln(xy) = (Delta/pi) * Arg U(1 + i pi/Delta), the
+#                 principal angle (mcfit's convention).
+#   'nearest'   — the offset closest to 0 (scipy.fft.fhtoffset convention).
+LOWRING_BRANCH = 'principal'
 
-    Same condition as scipy.fft.fhtoffset(delta, mu) with bias 0: the
-    Nyquist coefficient u_{N/2} is real, killing the sawtooth ringing mode.
-    """
+
+def lowring_offset(delta: float, mu: float, branch: str | None = None) -> float:
+    """ln(xy) satisfying the low-ringing condition: the Nyquist
+    coefficient u_{N/2} is real, killing the sawtooth ringing mode."""
+    branch = branch or LOWRING_BRANCH
     # arg U_mu(1 + i pi / delta)
     z = 1.0 + 1j * np.pi / delta
     lg = loggamma((mu + z) / 2) - loggamma((mu - z) / 2 + 1)
-    arg_u = (z.imag * np.log(2.0) + lg.imag)
-    # condition: -(pi/delta) ln(xy) + arg_u = 0  (mod 2 pi)
-    lnxy = (delta / np.pi) * arg_u
-    # shift by multiples of 2*delta to land closest to 0
-    lnxy -= 2.0 * delta * np.round(lnxy / (2.0 * delta))
+    u = np.exp((z - 1) * np.log(2.0) + lg)
+    lnxy = (delta / np.pi) * np.angle(u)
+    if branch == 'nearest':
+        # condition holds mod pi -> allowed offsets are spaced delta apart
+        lnxy -= delta * np.round(lnxy / delta)
     return lnxy
 
 

@@ -1,0 +1,247 @@
+"""P(k, mu_k) -> xi(r, mu) transform plan.
+
+TPU-native counterpart of the reference's vega/pktoxi.py. The per-call
+scipy machinery there (mcfit FFTLog + interp1d per multipole,
+pktoxi.py:99-163) becomes three fused dense contractions on device:
+
+  1. Legendre projection:   pk_ell = P_proj @ pk          (n_ell, n_k)
+  2. FFTLog + spline solve: xi_knots = L_ell @ pk_ell     (batched MXU)
+                            m_knots  = SL_ell @ pk_ell
+  3. gather + cubic eval at log(rescaled r), times P_ell(mu), summed.
+
+All operators are precomputed on the host at init (see ops/fftlog.py,
+ops/spline.py). The multipole LRU cache of the reference (pktoxi.py:165)
+is dropped: under jit the transform is a handful of matmuls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from numpy import fft as npfft
+from scipy.special import loggamma
+
+from .ops.fftlog import FFTLogP2Xi
+from .ops.spline import notaknot_second_derivative_matrix, spline_eval
+
+# scipy.special.legendre(ell) monomial coefficients (poly1d order,
+# highest power first); exact binary fractions, so Horner evaluation
+# reproduces the reference bit-for-bit.
+LEGENDRE_COEFFS = {
+    0: [1.0],
+    1: [1.0, 0.0],
+    2: [1.5, 0.0, -0.5],
+    3: [2.5, 0.0, -1.5, 0.0],
+    4: [4.375, 0.0, -3.75, 0.0, 0.375],
+    5: [7.875, 0.0, -8.75, 0.0, 1.875, 0.0],
+    6: [14.4375, 0.0, -19.6875, 0.0, 6.5625, 0.0, -0.3125],
+}
+
+
+# Shared dense-operator cache: (k_bytes, ell_vals, old_fftlog, lowring)
+# -> (fft_ops, logr_knots, fft_sd_ops). Init-time only.
+_OPERATOR_CACHE = {}
+_LEGACY_OPERATOR_CACHE = {}
+
+
+def legendre(ell, x):
+    """Evaluate P_ell(x) by Horner's rule on the monomial coefficients,
+    matching scipy.special.legendre(ell)(x)."""
+    coeffs = LEGENDRE_COEFFS[ell]
+    out = jnp.zeros_like(x) + coeffs[0]
+    for c in coeffs[1:]:
+        out = out * x + c
+    return out
+
+
+class PktoXi:
+    """Transform plan for one tracer pair on fixed (k, mu_k) grids
+    (reference: pktoxi.py:12-59 for the configuration surface)."""
+
+    def __init__(self, k_grid, muk_grid, name1, name2, config):
+        self.name1 = name1
+        self.name2 = name2
+        self.k_grid = np.asarray(k_grid, dtype=np.float64)
+        self.muk_grid = np.asarray(muk_grid)
+        self.dmuk = 1.0 / len(muk_grid)
+
+        self.ell_max = config.getint('ell_max', 6)
+        self._old_fftlog = config.getboolean('old_fftlog', False)
+        self._extrap = config.getboolean('fht_extrap', False)
+        if self._extrap:
+            raise NotImplementedError(
+                'fht_extrap is not supported; pad the input P(k) instead')
+        self._lowring = config.getboolean('fht_lowring', True)
+
+        self.ell_vals = tuple(np.arange(0, self.ell_max + 1, 2))
+
+        # Legendre projection matrix, with the dmuk*(2l+1) weights folded in
+        # (reference: pktoxi.py:95,138)
+        muk = self.muk_grid.ravel()
+        self.legendre_proj = np.stack([
+            np.polyval(LEGENDRE_COEFFS[ell], muk) * self.dmuk * (2 * ell + 1)
+            for ell in self.ell_vals
+        ])  # (n_ell, n_muk)
+
+        # The dense transform operators only depend on (k grid, ell_max,
+        # lowring, old_fftlog) — identical across the ~16 tracer pairs per
+        # correlation — so they are built once and shared.
+        cache_key = (self.k_grid.tobytes(), self.ell_vals,
+                     self._old_fftlog, self._lowring)
+        if cache_key not in _OPERATOR_CACHE:
+            if self._old_fftlog:
+                ops, logr = self._build_legacy_operators(
+                    self.ell_vals, n_exp=2, project_scale=True)
+            else:
+                fftlogs = [FFTLogP2Xi(self.k_grid, ell,
+                                      lowring=self._lowring)
+                           for ell in self.ell_vals]
+                logr = np.log(fftlogs[0].r_grid)
+                ops = np.stack([f.operator() for f in fftlogs])
+            s_mat = notaknot_second_derivative_matrix(logr)
+            # pk_ell -> spline second derivatives, fused into one matmul
+            sd_ops = np.einsum('ij,ljk->lik', s_mat, ops)
+            _OPERATOR_CACHE[cache_key] = (ops, logr, sd_ops)
+        self.fft_ops, self.logr_knots, self.fft_sd_ops = \
+            _OPERATOR_CACHE[cache_key]
+
+        # Lazily-built legacy operators for the relativistic / asymmetry
+        # additive terms (reference: pktoxi.py:321-382 use the legacy path)
+        self._rel_ops = None
+        self._asy_ops = None
+
+    @classmethod
+    def init_from_Pk(cls, pk, config):
+        """Construct from a PowerSpectrum (reference: pktoxi.py:61-77)."""
+        return cls(pk.k_grid, pk.muk_grid, pk.tracer1_name, pk.tracer2_name,
+                   config)
+
+    # ------------------------------------------------------------------
+    # Main transform
+    # ------------------------------------------------------------------
+    def compute_pk_ells(self, pk):
+        """P(k, mu_k) -> multipoles (n_ell, n_k) (reference: pktoxi.py:79-97)."""
+        return self.legendre_proj @ pk
+
+    def compute(self, r_grid, mu_grid, pk, single_ell=-1):
+        """Full transform to xi on the (traced) r/mu grids; returns
+        (xi, oob_flag) (reference: pktoxi.py:99-163).
+
+        The reference's VegaBoundsError on out-of-range interpolation
+        becomes the oob flag here.
+        """
+        pk_ells = self.legendre_proj @ pk                      # (n_ell, n_k)
+        xi_knots = jnp.einsum('lij,lj->li', self.fft_ops, pk_ells)
+        m_knots = jnp.einsum('lij,lj->li', self.fft_sd_ops, pk_ells)
+
+        mask = r_grid != 0
+        safe_r = jnp.where(mask, r_grid, 1.0)
+        log_r = jnp.log(safe_r)
+
+        if not single_ell < 0:
+            li = list(self.ell_vals).index(int(single_ell))
+            vals, oob = spline_eval(self.logr_knots, xi_knots[li],
+                                    m_knots[li], log_r)
+            xi = jnp.where(mask, vals, 0.0)
+            return xi, jnp.any(oob & mask)
+
+        vals, oob = spline_eval(self.logr_knots, xi_knots[:, None, :],
+                                m_knots[:, None, :], log_r[None, :])
+        vals = vals[:, 0, :]                                    # (n_ell, n_r)
+        legendre_mu = jnp.stack([legendre(ell, mu_grid)
+                                 for ell in self.ell_vals])
+        xi = jnp.sum(vals * legendre_mu, axis=0)
+        xi = jnp.where(mask, xi, 0.0)
+        return xi, jnp.any(oob[0] & mask)
+
+    # ------------------------------------------------------------------
+    # Legacy FFTLog (Hamilton 2000 conventions of the reference's Pk2Mp,
+    # pktoxi.py:230-279) — used by the relativistic / asymmetry terms and
+    # by the old_fftlog compatibility mode.
+    # ------------------------------------------------------------------
+    def _build_legacy_operators(self, ell_vals, n_exp, project_scale):
+        """Dense operators for the legacy transform.
+
+        Returns (ops, logr_knots) with ops[i] mapping the input spectrum
+        (a multipole if project_scale, else the raw 1D pk) to xi samples
+        at the shifted knots log(r) - dr/2.
+        """
+        k = self.k_grid
+        k0 = k[0]
+        log_span = np.log(k.max() / k0)
+        n = len(k)
+        emm = n * npfft.fftfreq(n)
+        r = 1.0 * np.exp(-emm * log_span / n)
+        dr = abs(np.log(r[1] / r[0]))
+        order = np.argsort(r)
+        r_sorted = r[order]
+
+        q = 2.0 - n_exp - 0.5
+        x = q + 2j * np.pi * emm / log_span
+
+        ops = []
+        for ell in ell_vals:
+            mu = ell + 0.5
+            lg1 = loggamma((mu + 1 + x) / 2)
+            lg2 = loggamma((mu + 1 - x) / 2)
+            um = (k0 * 1.0) ** (-2j * np.pi * emm / log_span) \
+                * 2 ** x * np.exp(lg1 - lg2)
+            um[0] = um[0].real
+            # Linear operator: input -> fft -> *um -> ifft -> sort -> /r^(3-n)
+            weight = k ** n_exp * np.sqrt(np.pi / 2)
+            if project_scale:
+                # the standard path folds (-1)^(ell//2)/(2 pi^2) into the
+                # projected multipole (reference: pktoxi.py:260)
+                weight = weight * ((-1.0) ** (ell // 2) / (2 * np.pi ** 2))
+            basis = np.eye(n) * weight[None, :]
+            an = npfft.fft(basis, axis=1) * um[None, :]
+            xi_rows = npfft.ifft(an, axis=1)[:, order].real
+            xi_rows /= r_sorted[None, :] ** (3 - n_exp)
+            xi_rows[:, -1] = 0.0
+            ops.append(np.ascontiguousarray(xi_rows.T))
+        return np.stack(ops), np.log(r_sorted) - dr / 2
+
+    def _legacy_eval(self, ops, logr_knots, sd_ops, spectra, r_grid):
+        log_r = jnp.log(jnp.where(r_grid != 0, r_grid, 1.0))
+        xi_knots = jnp.einsum('lij,lj->li', ops, spectra)
+        m_knots = jnp.einsum('lij,lj->li', sd_ops, spectra)
+        vals, _ = spline_eval(logr_knots, xi_knots[:, None, :],
+                              m_knots[:, None, :], log_r[None, :])
+        return vals[:, 0, :]
+
+    def _get_legacy_ops(self, ell_vals, n_exp):
+        key = (self.k_grid.tobytes(), ell_vals, n_exp)
+        if key not in _LEGACY_OPERATOR_CACHE:
+            ops, logr = self._build_legacy_operators(
+                ell_vals, n_exp=n_exp, project_scale=False)
+            s_mat = notaknot_second_derivative_matrix(logr)
+            _LEGACY_OPERATOR_CACHE[key] = (
+                ops, logr, np.einsum('ij,ljk->lik', s_mat, ops))
+        return _LEGACY_OPERATOR_CACHE[key]
+
+    def _get_rel_ops(self):
+        return self._get_legacy_ops((1, 3), 1)
+
+    def _get_asy_ops(self):
+        return self._get_legacy_ops((0, 2), 2)
+
+    def pk_to_xi_relativistic(self, r_grid, mu_grid, pk, params):
+        """Relativistic dipole + octupole (Bonvin et al. 2014)
+        (reference: pktoxi.py:321-350)."""
+        ops, logr, sd_ops = self._get_rel_ops()
+        spectra = jnp.stack([jnp.asarray(pk), jnp.asarray(pk)])
+        vals = self._legacy_eval(ops, logr, sd_ops, spectra, r_grid)
+        xi_rel = (params['Arel1'] * vals[0] * legendre(1, mu_grid)
+                  + params['Arel3'] * vals[1] * legendre(3, mu_grid))
+        return xi_rel
+
+    def pk_to_xi_asymmetry(self, r_grid, mu_grid, pk, params):
+        """Standard asymmetry (Bonvin et al. 2014)
+        (reference: pktoxi.py:352-382)."""
+        ops, logr, sd_ops = self._get_asy_ops()
+        spectra = jnp.stack([jnp.asarray(pk), jnp.asarray(pk)])
+        vals = self._legacy_eval(ops, logr, sd_ops, spectra, r_grid)
+        xi_asy = ((params['Aasy0'] * vals[0] - params['Aasy2'] * vals[1])
+                  * r_grid * legendre(1, mu_grid))
+        xi_asy += params['Aasy3'] * vals[1] * r_grid * legendre(3, mu_grid)
+        return xi_asy

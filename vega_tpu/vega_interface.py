@@ -1,0 +1,924 @@
+"""Main interface: config parsing, per-correlation model construction, and
+the compiled chi^2 / log-likelihood.
+
+Counterpart of the reference's vega/vega_interface.py with one central
+architectural change: the whole model + chi^2 pipeline for all
+correlations compiles into a single jitted function of the sampled
+parameters. Model-domain failures (interpolation out of bounds, Arinyo
+NaN) surface as a flag inside the graph and yield chi^2 = 1e100
+branchlessly, preserving the reference's exception semantics
+(vega_interface.py:268-279) without host round-trips.
+
+Batched evaluation (`chi2_batch`, `log_lik_batch`) vmaps the same graph
+over parameter batches — this replaces the reference's MPI fan-out of
+sampler live points and Monte-Carlo fits (bin/run_vega_mpi.py).
+"""
+
+from __future__ import annotations
+
+import configparser
+import copy
+import os.path
+
+import numpy as np
+import scipy.stats
+import jax
+import jax.numpy as jnp
+
+from . import utils
+from .analysis import Analysis
+from .correlation_item import CorrelationItem
+from .data import Data
+from .io.fits import read_fits
+from .minimizer import Minimizer
+from .model import Model
+from .output import Output
+from .parameters.param_utils import get_default_values
+from .scale_parameters import ScaleParameters
+
+PENALTY_CHI2 = 1e100
+
+
+def parse_ini(path):
+    """Case-preserving INI parser (reference: vega_interface.py:51-53)."""
+    config = configparser.ConfigParser()
+    config.optionxform = lambda option: option
+    config.read(utils.find_file(os.path.expandvars(str(path))))
+    return config
+
+
+class VegaInterface:
+    """Main interface (reference: vega_interface.py:22-206)."""
+
+    _blind = None
+    _use_global_cov = False
+    global_cov = None
+
+    def __init__(self, main_path):
+        self.main_config = parse_ini(main_path)
+
+        self.fiducial = self._read_fiducial(self.main_config['fiducial'])
+        self.fiducial['z_eff'] = self.main_config['data sets'].getfloat('zeff')
+        write_cf = self.main_config['output'].getboolean('write_cf', False)
+        write_pk = self.main_config['output'].getboolean('write_pk', False)
+        self.fiducial['save-components'] = write_cf or write_pk
+        ini_files = self.main_config['data sets'].get('ini files').split()
+        global_cov_file = self.main_config['data sets'].get(
+            'global-cov-file', None)
+
+        control = (self.main_config['control']
+                   if 'control' in self.main_config else {})
+        self.model_pk = self.main_config['control'].getboolean(
+            'model_pk', False) if 'control' in self.main_config else False
+        self.low_mem_mode = (self.main_config['control'].getboolean(
+            'low_mem_mode', False) if 'control' in self.main_config else False)
+        self.low_mem_mode &= global_cov_file is not None
+        self.marginalize_in_fit = (self.main_config['control'].getboolean(
+            'marginalize-in-fit', False)
+            if 'control' in self.main_config else False)
+        del control
+
+        # Correlation items
+        self.corr_items = {}
+        for path in ini_files:
+            config = parse_ini(path)
+            name = config['data'].get('name')
+            self.corr_items[name] = CorrelationItem(config, self.model_pk)
+            self.corr_items[name].low_mem_mode = self.low_mem_mode
+
+        # Parameters
+        self.params = self._read_parameters(self.corr_items,
+                                            self.main_config['parameters'])
+        self.sample_params = self._read_sample(self.main_config['sample'])
+
+        # Growth rate handling (reference: vega_interface.py:90-107)
+        use_template_growth = True
+        if 'control' in self.main_config:
+            use_template_growth = self.main_config['control'].getboolean(
+                'use_template_growth_rate', True)
+        if use_template_growth and 'growth_rate' in self.fiducial:
+            assert 'growth_rate' not in self.sample_params['limits'], (
+                'use_template_growth_rate is True, but growth_rate is '
+                'sampled. Remove it from [sample] or set '
+                'use_template_growth_rate = False.')
+            self.params['growth_rate'] = self.fiducial['growth_rate']
+        elif 'growth_rate' not in self.fiducial:
+            if 'growth_rate' in self.params:
+                self.fiducial['growth_rate'] = self.params['growth_rate']
+
+        if 'par_sigma_smooth' in self.params:
+            self.fiducial['par_sigma_smooth'] = self.params['par_sigma_smooth']
+        if 'per_sigma_smooth' in self.params:
+            self.fiducial['per_sigma_smooth'] = self.params['per_sigma_smooth']
+
+        # Data
+        self.data = {}
+        self._has_data = all(item.has_data
+                             for item in self.corr_items.values())
+        for name, corr_item in self.corr_items.items():
+            self.data[name] = (Data(corr_item,
+                                    marginalize_in_fit=self.marginalize_in_fit)
+                               if self._has_data else None)
+
+        self._blind = False
+        self._rnsps = None
+        if self._has_data:
+            self._init_blinding()
+
+        self.scale_params = ScaleParameters(self.main_config['cosmo-fit type'])
+
+        # Models
+        self.models = {}
+        if self._has_data:
+            for name, corr_item in self.corr_items.items():
+                self.models[name] = Model(corr_item, self.fiducial,
+                                          self.scale_params, self.data[name])
+
+        # Monte Carlo config
+        self.mc_config = None
+        if 'monte carlo' in self.main_config:
+            self.mc_config = {'params': {}}
+            for param, value in self.main_config['mc parameters'].items():
+                self.mc_config['params'][param] = float(value)
+            self.mc_config['sample'] = self._read_sample(
+                self.main_config['monte carlo'])
+
+        # Priors
+        self.priors = {}
+        if 'priors' in self.main_config:
+            self.priors = self._init_priors(self.main_config['priors'])
+            for param in self.priors:
+                not_sampled = param not in self.sample_params['limits']
+                if self.mc_config is not None:
+                    not_sampled &= param not in self.mc_config['sample']['limits']
+                if not_sampled:
+                    raise ValueError('Prior specified for a parameter that '
+                                     f'is not sampled: {param}')
+
+        # Global covariance
+        cov_scale = None
+        if 'control' in self.main_config:
+            cov_scale = self.main_config['control'].getfloat('cov_scale', None)
+        if global_cov_file is not None:
+            self.read_global_cov(global_cov_file, cov_scale)
+            self._use_global_cov = True
+
+        # Minimizer / analysis
+        if not self.sample_params['limits']:
+            self.minimizer = None
+        else:
+            self.minimizer = Minimizer(
+                self.chi2, self.sample_params,
+                grad_func=self.chi2_gradient, hess_func=self.chi2_hessian)
+        self.analysis = Analysis(self.chi2, self.sample_params,
+                                 self.main_config, self.corr_items,
+                                 self.data, self.mc_config, self.global_cov)
+
+        self.corr_num_marg_modes = {}
+        if self._has_data:
+            for name in self.corr_items:
+                self.corr_num_marg_modes[name] = self.data[name].num_marg_modes
+
+        # Sampler flags (reference: vega_interface.py:187-195)
+        self.run_sampler = False
+        self.sampler = None
+        if 'control' in self.main_config:
+            self.run_sampler = self.main_config['control'].getboolean(
+                'run_sampler', False)
+            self.sampler = self.main_config['control'].get('sampler', None)
+            if self.run_sampler:
+                if self.sampler not in ['Polychord', 'PocoMC', 'NestedJax']:
+                    raise ValueError('Sampler not recognized. Use Polychord, '
+                                     'PocoMC or NestedJax.')
+                if self.sampler not in self.main_config:
+                    raise RuntimeError(
+                        'run_sampler set, but no sampler config found')
+
+        self.output = Output(self.main_config['output'], self.data,
+                             self.corr_items, self.analysis)
+
+        self.monte_carlo = False
+
+        self.plots = None
+        if self._has_data:
+            from .plots.plot import VegaPlots
+            self.plots = VegaPlots(vega_data=self.data)
+
+        # The compiled chi^2 graph (built lazily on first call)
+        self._jit_chi2 = None
+
+    # ------------------------------------------------------------------
+    # Model + chi2 graph
+    # ------------------------------------------------------------------
+    def _model_graph(self, local_params, direct_pk=None):
+        """Traceable model for all components; returns (model_cf, bad)."""
+        model_cf = {}
+        bad = jnp.asarray(False)
+        for name in self.corr_items:
+            if direct_pk is None:
+                cf, cf_bad = self.models[name].compute(
+                    local_params, self.fiducial['pk_full'],
+                    self.fiducial['pk_smooth'])
+            else:
+                cf, cf_bad = self.models[name].compute_direct(
+                    local_params, direct_pk)
+            model_cf[name] = cf
+            bad = bad | cf_bad
+        return model_cf, bad
+
+    def _chi2_graph(self, sample_params, data_vecs, cov_scales):
+        """Traceable chi^2 of the sampled parameters.
+
+        data_vecs: dict name -> masked data vector (or the concatenated
+        vector under the '_global' key when a global covariance is used).
+        cov_scales: dict name -> inverse-covariance scale factor (1 unless
+        Monte-Carlo rescaling is active).
+        """
+        local_params = self._get_lcl_prms(sample_params)
+        model_cf, bad = self._model_graph(local_params)
+
+        marg_coeff = {}
+        if self.marginalize_in_fit:
+            marg_coeff = self._marg_coeff_graph(model_cf, data_vecs)
+            for name in self.data:
+                if self.data[name].marg_templates is not None:
+                    model_cf[name] = model_cf[name] + jnp.asarray(
+                        self.data[name].marg_templates) @ marg_coeff[name]
+
+        if self._use_global_cov:
+            full_model = jnp.concatenate(
+                [model_cf[name] for name in self.corr_items])
+            diff = data_vecs['_global'] - full_model[self.full_model_mask]
+            chi2 = diff @ (jnp.asarray(self.masked_global_invcov) @ diff)
+        else:
+            chi2 = 0.
+            for name in self.corr_items:
+                corr_data = self.data[name]
+                model_corr = model_cf[name][corr_data.model_mask]
+                diff = data_vecs[name] - model_corr
+                inv_cov = jnp.asarray(corr_data.inv_masked_cov)
+                chi2 = chi2 + cov_scales[name] * (diff @ (inv_cov @ diff))
+
+        chi2 = chi2 + self._prior_chi2_graph(local_params)
+        chi2 = jnp.where(bad, PENALTY_CHI2, chi2)
+        return chi2, marg_coeff
+
+    def _marg_coeff_graph(self, model_cf, data_vecs):
+        """Best-fit marginalization-template coefficients
+        (reference: vega_interface.py:546-579)."""
+        coeffs = {}
+        for name in self.corr_items:
+            corr_data = self.data[name]
+            if corr_data.marg_diff2coeff_matrix is None:
+                continue
+            diff = data_vecs[name] - model_cf[name][corr_data.model_mask]
+            coeffs[name] = jnp.asarray(
+                corr_data.marg_diff2coeff_matrix) @ diff
+        return coeffs
+
+    def _prior_chi2_graph(self, local_params):
+        chi2 = 0.
+        for param, prior in self.priors.items():
+            if param not in local_params:
+                raise AssertionError(
+                    'You have specified a prior for a parameter not in the '
+                    f'model. Offending parameter: {param}')
+            chi2 = chi2 + ((local_params[param] - prior[0]) ** 2
+                           / prior[1] ** 2)
+        return chi2
+
+    def _get_jit_chi2(self):
+        if self._jit_chi2 is None:
+            self._jit_chi2 = jax.jit(self._chi2_graph)
+        return self._jit_chi2
+
+    def chi2_gradient(self, params):
+        """Exact d(chi^2)/d(theta) for the sampled parameters via jax.grad
+        — replaces MINUIT's finite-difference gradient evaluations."""
+        if not hasattr(self, '_jit_chi2_grad') or self._jit_chi2_grad is None:
+            self._jit_chi2_grad = jax.jit(jax.grad(
+                lambda p, dv, cs: self._chi2_graph(p, dv, cs)[0]))
+        grads = self._jit_chi2_grad(
+            {k: float(v) for k, v in params.items()},
+            self._current_data_vecs(), self._current_cov_scales())
+        return {k: float(v) for k, v in grads.items()}
+
+    def chi2_hessian(self, params, free_names):
+        """Exact chi^2 Hessian over free_names via jax.hessian."""
+        fixed = {k: float(v) for k, v in params.items()
+                 if k not in free_names}
+        free = {k: float(params[k]) for k in free_names}
+        data_vecs = self._current_data_vecs()
+        cov_scales = self._current_cov_scales()
+
+        def fn(free_p):
+            return self._chi2_graph({**fixed, **free_p}, data_vecs,
+                                    cov_scales)[0]
+
+        hess = jax.jit(jax.hessian(fn))(free)
+        return {n1: {n2: float(hess[n1][n2]) for n2 in free_names}
+                for n1 in free_names}
+
+    def _current_data_vecs(self):
+        if self._use_global_cov:
+            if self.monte_carlo:
+                return {'_global': self.analysis.current_mc_mock}
+            return {'_global': np.concatenate(
+                [self.data[name].masked_data_vec
+                 for name in self.corr_items])}
+        if self.monte_carlo:
+            return {name: self.data[name].masked_mc_mock
+                    for name in self.corr_items}
+        return {name: self.data[name].masked_data_vec
+                for name in self.corr_items}
+
+    def _current_cov_scales(self):
+        scales = {}
+        for name in self.corr_items:
+            corr_data = self.data[name]
+            if self.monte_carlo and corr_data.scaled_inv_masked_cov is not None:
+                # scaled_inv = inv / scale
+                scales[name] = 1.0 / corr_data._scale
+            else:
+                scales[name] = 1.0
+        return scales
+
+    # ------------------------------------------------------------------
+    # Public API (mirrors the reference)
+    # ------------------------------------------------------------------
+    def compute_model(self, params=None, run_init=True, direct_pk=None,
+                      marg_coeff=None):
+        """Model correlations for each component as numpy arrays
+        (reference: vega_interface.py:208-248)."""
+        local_params = self._get_lcl_prms(params)
+
+        model_cf = {}
+        if run_init:
+            self.models = {}
+        for name, corr_item in self.corr_items.items():
+            if run_init:
+                self.models[name] = Model(corr_item, self.fiducial,
+                                          self.scale_params, self.data[name])
+            if direct_pk is None:
+                cf, bad = self.models[name].compute(
+                    local_params, self.fiducial['pk_full'],
+                    self.fiducial['pk_smooth'])
+            else:
+                cf, bad = self.models[name].compute_direct(
+                    local_params, direct_pk)
+            if self.model_pk:
+                model_cf[name] = np.asarray(cf)
+                continue
+            if bool(bad):
+                raise utils.VegaModelError(
+                    f'Model evaluation failed for {name} '
+                    '(out-of-bounds interpolation or non-finite factor)')
+            model_cf[name] = np.asarray(cf)
+
+        if marg_coeff is not None:
+            for name in self.data:
+                if self.data[name].marg_templates is not None:
+                    model_cf[name] = model_cf[name] + \
+                        self.data[name].marg_templates.dot(marg_coeff[name])
+
+        return model_cf
+
+    def chi2(self, params=None, direct_pk=None, return_marg_coeff=False):
+        """Full chi^2 (reference: vega_interface.py:250-325). Jitted on the
+        standard path; the direct_pk path stays eager."""
+        assert self._has_data
+
+        if direct_pk is not None:
+            return self._chi2_eager(params, direct_pk, return_marg_coeff)
+
+        sample_params = {} if params is None else dict(params)
+        data_vecs = self._current_data_vecs()
+        cov_scales = self._current_cov_scales()
+        chi2, marg_coeff = self._get_jit_chi2()(
+            sample_params, data_vecs, cov_scales)
+        chi2 = float(chi2)
+
+        if return_marg_coeff:
+            marg_coeff = {k: np.asarray(v) for k, v in marg_coeff.items()}
+            if not self.marginalize_in_fit:
+                marg_coeff = self.compute_marg_coeff(
+                    self.compute_model(params, run_init=False))
+            return chi2, marg_coeff
+        return chi2
+
+    def _chi2_eager(self, params=None, direct_pk=None,
+                    return_marg_coeff=False):
+        """Eager chi^2 used for the direct-Pk path."""
+        try:
+            model_cf = self.compute_model(params, run_init=False,
+                                          direct_pk=direct_pk)
+        except utils.VegaModelError:
+            return (PENALTY_CHI2, None) if return_marg_coeff else PENALTY_CHI2
+
+        marg_coeff = None
+        if return_marg_coeff or self.marginalize_in_fit:
+            marg_coeff = self.compute_marg_coeff(model_cf)
+        if self.marginalize_in_fit:
+            for name in self.data:
+                if self.data[name].marg_templates is not None:
+                    model_cf[name] = model_cf[name] + \
+                        self.data[name].marg_templates.dot(marg_coeff[name])
+
+        if self._use_global_cov:
+            full_data = self._current_data_vecs()['_global']
+            full_model = np.concatenate(
+                [model_cf[name] for name in self.corr_items])
+            diff = full_data - full_model[self.full_model_mask]
+            chi2 = diff.T.dot(self.masked_global_invcov.dot(diff))
+        else:
+            chi2 = 0.
+            for name in self.corr_items:
+                corr_data = self.data[name]
+                model_corr = model_cf[name][corr_data.model_mask]
+                if self.monte_carlo:
+                    diff = corr_data.masked_mc_mock - model_corr
+                    chi2 += diff.T.dot(
+                        corr_data.scaled_inv_masked_cov.dot(diff))
+                else:
+                    diff = corr_data.masked_data_vec - model_corr
+                    chi2 += diff.T.dot(corr_data.inv_masked_cov.dot(diff))
+
+        chi2 += float(self._prior_chi2_graph(self._get_lcl_prms(params)))
+        if return_marg_coeff:
+            return chi2, marg_coeff
+        return chi2
+
+    def log_lik(self, params=None, direct_pk=None, return_marg_coeff=False):
+        """Full log-likelihood (reference: vega_interface.py:327-387)."""
+        assert self._has_data
+
+        if return_marg_coeff:
+            chi2, marg_coeff = self.chi2(params, direct_pk, True)
+        else:
+            chi2 = self.chi2(params, direct_pk)
+
+        log_lik = self._log_norm() - 0.5 * chi2
+        for prior in self.priors.values():
+            log_lik += self._gaussian_lik_prior(prior[1])
+
+        if return_marg_coeff:
+            if marg_coeff:
+                corr_names = sorted(n for n in self.corr_items
+                                    if n in marg_coeff)
+                marg_list = (np.hstack([marg_coeff[c] for c in corr_names])
+                             if corr_names else np.array([]))
+            else:
+                marg_list = None
+            return log_lik, marg_list
+        return log_lik
+
+    def _log_norm(self):
+        log_norm = 0.
+        for name in self.corr_items:
+            log_norm -= 0.5 * self.data[name].data_size * np.log(2 * np.pi)
+            if not self._use_global_cov:
+                if self.monte_carlo and \
+                        self.data[name].scaled_log_cov_det is not None:
+                    log_norm -= 0.5 * self.data[name].scaled_log_cov_det
+                else:
+                    log_norm -= 0.5 * self.data[name].log_cov_det
+        if self._use_global_cov:
+            log_norm -= 0.5 * self.masked_global_log_cov_det
+        return log_norm
+
+    # ------------------------------------------------------------------
+    # Batched (vmapped) likelihood — the TPU-native replacement for MPI
+    # fan-out of sampler points (SURVEY.md section 2.3)
+    # ------------------------------------------------------------------
+    def chi2_batch(self, param_batches):
+        """chi^2 for a batch: dict of name -> (n_batch,) arrays."""
+        data_vecs = self._current_data_vecs()
+        cov_scales = self._current_cov_scales()
+        fn = jax.vmap(lambda p: self._chi2_graph(p, data_vecs, cov_scales)[0])
+        return np.asarray(jax.jit(fn)(param_batches))
+
+    def log_lik_batch(self, param_batches):
+        chi2 = self.chi2_batch(param_batches)
+        log_lik = self._log_norm() - 0.5 * chi2
+        for prior in self.priors.values():
+            log_lik += self._gaussian_lik_prior(prior[1])
+        return log_lik
+
+    # ------------------------------------------------------------------
+    def _get_lcl_prms(self, params=None):
+        """Local parameter dict with blinding applied
+        (reference: vega_interface.py:389-421)."""
+        local_params = copy.copy(self.params)
+        if params is not None:
+            local_params.update(params)
+
+        assert self._blind is not None
+        if self._rnsps is not None:
+            assert self._blind
+            local_params = utils.apply_blinding(local_params, self._rnsps)
+            for par in local_params:
+                if par in utils.BLIND_FIXED_PARS:
+                    local_params[par] = 1.
+        return local_params
+
+    def compute_prior_chi2(self, params=None):
+        """(reference: vega_interface.py:423-446)"""
+        return float(self._prior_chi2_graph(self._get_lcl_prms(params)))
+
+    def compute_marg_coeff(self, model_cf):
+        """(reference: vega_interface.py:546-579)"""
+        coeffs = {}
+        for name in self.corr_items:
+            corr_data = self.data[name]
+            if corr_data.marg_diff2coeff_matrix is None:
+                continue
+            if self.monte_carlo:
+                diff = corr_data.masked_mc_mock \
+                    - model_cf[name][corr_data.model_mask]
+            else:
+                diff = corr_data.masked_data_vec \
+                    - model_cf[name][corr_data.model_mask]
+            coeffs[name] = corr_data.marg_diff2coeff_matrix.dot(diff)
+        return coeffs
+
+    # ------------------------------------------------------------------
+    # Monte Carlo (reference: vega_interface.py:448-544)
+    # ------------------------------------------------------------------
+    def get_fiducial_for_monte_carlo(self, print_func=print):
+        mc_params = self.mc_config['params']
+        mc_start_from_fit = self.main_config['control'].get(
+            'mc_start_from_fit', None)
+
+        if mc_start_from_fit is not None:
+            from .postprocess.fit_results import FitResults
+            print_func(f'Reading input fit {mc_start_from_fit}')
+            existing_fit = FitResults(utils.find_file(mc_start_from_fit))
+            mc_params = existing_fit.params | mc_params
+        elif self.sample_params['limits']:
+            print_func('Running initial fit')
+            self.minimize()
+            mc_params = self.bestfit.values | mc_params
+
+        use_measured = self.main_config['control'].getboolean(
+            'use_measured_fiducial', False)
+        if use_measured:
+            fiducial_model = {}
+            for name in self.corr_items:
+                path = self.main_config['control'].get(f'mc_fiducial_{name}')
+                hdul = read_fits(utils.find_file(path))
+                fiducial_model[name] = hdul[1]['DA']
+        else:
+            use_full_pk = self.main_config['control'].getboolean(
+                'use_full_pk_for_mc', False)
+            fiducial_model = self.compute_model(
+                mc_params, run_init=False,
+                direct_pk=self.fiducial['pk_full'] if use_full_pk else None)
+        return fiducial_model
+
+    def initialize_monte_carlo(self, scale=None, print_func=print):
+        fiducial_model = self.get_fiducial_for_monte_carlo(print_func)
+
+        sample_params = self.mc_config['sample']
+        self.minimizer = Minimizer(
+            self.chi2, sample_params,
+            grad_func=self.chi2_gradient, hess_func=self.chi2_hessian)
+
+        forecast = self.main_config['control'].getboolean('forecast', False)
+        seed = self.main_config['control'].getint('mc_seed', 0)
+
+        if self._use_global_cov:
+            if scale is None and 'global_cov_rescale' in self.main_config['control']:
+                scale = self.main_config['control'].getfloat(
+                    'global_cov_rescale')
+            mocks = self.analysis.create_global_monte_carlo(
+                fiducial_model, seed=seed, scale=scale, forecast=forecast)
+        else:
+            mocks = self.analysis.create_monte_carlo_sim(
+                fiducial_model, seed=seed, scale=scale, forecast=forecast)
+
+        self.monte_carlo = True
+        return mocks
+
+    # ------------------------------------------------------------------
+    def minimize(self):
+        """Minimize chi^2 over the sampled parameters
+        (reference: vega_interface.py:581-644)."""
+        if self.minimizer is None:
+            print('No sampled parameters. Skipping minimization.')
+            return
+
+        self.minimizer.minimize()
+
+        self.bestfit_model = self.compute_model(self.minimizer.values,
+                                                run_init=False)
+        self.total_data_size = 0
+        self.bestfit_corr_stats = {}
+        num_pars = len(self.sample_params['limits'])
+
+        print('\n----------------------------------------------------')
+        for name in self.corr_items:
+            corr_data = self.data[name]
+            data_size = corr_data.effective_data_size
+            self.total_data_size += data_size
+
+            if self.monte_carlo and self._use_global_cov:
+                chisq = 0
+                diff = None
+            elif self.monte_carlo:
+                diff = corr_data.masked_mc_mock \
+                    - self.bestfit_model[name][corr_data.model_mask]
+                chisq = diff.T.dot(corr_data.scaled_inv_masked_cov.dot(diff))
+            else:
+                diff = corr_data.masked_data_vec \
+                    - self.bestfit_model[name][corr_data.model_mask]
+                chisq = diff.T.dot(corr_data.inv_masked_cov.dot(diff))
+
+            bestfit_marg_coeff = None
+            if corr_data.marg_diff2coeff_matrix is not None and diff is not None:
+                bestfit_marg_coeff = corr_data.marg_diff2coeff_matrix.dot(diff)
+                self.bestfit_model[name] = self.bestfit_model[name] + \
+                    corr_data.marg_templates.dot(bestfit_marg_coeff)
+
+            reduced_chisq = chisq / (data_size - num_pars)
+            p_value = 1 - scipy.stats.chi2.cdf(chisq, data_size - num_pars)
+            print(f'{name} chi^2/(ndata-nparam): {chisq:.1f}/({data_size}'
+                  f'-{num_pars}) = {reduced_chisq:.3f}, PTE={p_value:.2f}')
+            print('----------------------------------------------------')
+            self.bestfit_corr_stats[name] = {
+                'masked_size': data_size, 'chisq': chisq,
+                'reduced_chisq': reduced_chisq, 'p_value': p_value,
+                'bestfit_marg_coeff': bestfit_marg_coeff,
+            }
+
+        self.chisq = self.minimizer.fmin.fval
+        self.reduced_chisq = self.chisq / (self.total_data_size - num_pars)
+        self.p_value = 1 - scipy.stats.chi2.cdf(
+            self.chisq, self.total_data_size - num_pars)
+        print(f'Total chi^2/(ndata-nparam): {self.chisq:.1f}/'
+              f'({self.total_data_size}-{num_pars}) = '
+              f'{self.reduced_chisq:.3f}, PTE={self.p_value:.2f}')
+        print('----------------------------------------------------\n')
+        if not self.minimizer.fmin.is_valid:
+            print('Invalid fit!!! Check data, covariance, model and priors.')
+
+    @property
+    def bestfit(self):
+        return self.minimizer
+
+    # ------------------------------------------------------------------
+    # Fisher sensitivity (reference: vega_interface.py:956-1071)
+    # ------------------------------------------------------------------
+    def compute_sensitivity(self, nominal=None, frac=0.1, verbose=True):
+        """Model sensitivity and Fisher information per (rt, rp) bin.
+
+        Same outputs as the reference's central finite differences; frac
+        and the nominal (value, error) interface are preserved.
+        """
+        if nominal is None:
+            if self.bestfit is None or not self.bestfit.run_flag:
+                raise RuntimeError(
+                    'No nominal parameter values provided or saved')
+            nominal = {name: (self.bestfit.values[name],
+                              self.bestfit.errors[name])
+                       for name in self.bestfit.values}
+
+        params = copy.deepcopy(self.params)
+        for pname, (pvalue, _) in nominal.items():
+            params[pname] = pvalue
+
+        self.sensitivity = dict(nominal=copy.deepcopy(nominal),
+                                partials={}, fisher={})
+        for name in self.corr_items:
+            self.sensitivity['partials'][name] = {}
+            self.sensitivity['fisher'][name] = {}
+
+        self.fiducial['save-components'] = True
+        bao_amp = self.params['bao_amp']
+        for pindex, (pname, (pvalue, perror)) in enumerate(nominal.items()):
+            if verbose:
+                print(f'Calculating sensitivity for [{pindex}] {pname} at'
+                      f' {pvalue:.4f} +/- {perror:.4f}')
+            delta = frac * perror
+            for sign in (+1, -1):
+                params[pname] = pvalue + sign * delta
+                cfs = self.compute_model(params, run_init=True)
+                for n in cfs:
+                    if pname not in self.sensitivity['partials'][n]:
+                        rp = self.corr_items[n].model_coordinates.rp_grid
+                        self.sensitivity['partials'][n][pname] = \
+                            np.zeros((2, 2, len(rp)))
+                    model = self.models[n]
+                    part = self.sensitivity['partials'][n][pname]
+                    part[0, 0] += sign * bao_amp * \
+                        model.xi_distorted['peak']['core']
+                    part[0, 1] += sign * model.xi_distorted['smooth']['core']
+                    part[1, 0] += sign * bao_amp * model.xi['peak']['core']
+                    part[1, 1] += sign * model.xi['smooth']['core']
+            for n in self.corr_items:
+                self.sensitivity['partials'][n][pname] /= 2 * delta
+            params[pname] = pvalue
+
+        if verbose:
+            print('Computing Fisher information for each pair of parameters.')
+        for pindex1, pname1 in enumerate(nominal):
+            for pindex2, pname2 in enumerate(nominal):
+                if pindex1 > pindex2:
+                    continue
+                for n in self.corr_items:
+                    rp = self.corr_items[n].model_coordinates.rp_grid
+                    fisher = np.zeros((2, len(rp)))
+                    mask = self.data[n].data_mask
+                    for idistort in range(2):
+                        partial1 = self.sensitivity['partials'][n][pname1][
+                            idistort].sum(axis=0)
+                        partial2 = self.sensitivity['partials'][n][pname2][
+                            idistort].sum(axis=0)
+                        masked_info = (partial1[mask] * self.data[
+                            n].inv_masked_cov.dot(partial2[mask]))
+                        fisher[idistort, mask] = masked_info
+                        fisher[idistort, ~mask] = np.nan
+                    self.sensitivity['fisher'][n][(pname1, pname2)] = fisher
+
+    # ------------------------------------------------------------------
+    # Config readers (reference: vega_interface.py:666-851)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _read_fiducial(fiducial_config):
+        path = fiducial_config.get('filename')
+        path = utils.find_file(os.path.expandvars(path))
+        print(f'INFO: reading input Pk {path}')
+        hdul = read_fits(path)
+        fiducial = {
+            'z_fiducial': hdul[1].header['ZREF'],
+            'Omega_m': hdul[1].header['OM'],
+            'Omega_de': hdul[1].header['OL'],
+            'k': hdul[1]['K'].astype(np.float64),
+            'pk_full': hdul[1]['PK'].astype(np.float64),
+            'pk_smooth': hdul[1]['PKSB'].astype(np.float64),
+        }
+        if 'F_ZREF' in hdul[1].header:
+            fiducial['growth_rate'] = hdul[1].header['F_ZREF']
+        return fiducial
+
+    @staticmethod
+    def _read_parameters(corr_items, parameters_config):
+        params = {}
+        for name, corr_item in corr_items.items():
+            if 'parameters' in corr_item.config:
+                for param, value in corr_item.config.items('parameters'):
+                    params[param] = float(value)
+        for param, value in parameters_config.items():
+            params[param] = float(value)
+        return params
+
+    def _read_sample(self, sample_config):
+        """(reference: vega_interface.py:738-816)"""
+        sample_params = {'limits': {}, 'values': {}, 'errors': {}, 'fix': {}}
+        default_values = get_default_values()
+
+        def check_param(param):
+            if param not in default_values:
+                raise ValueError(f'Default values not found for: {param}. '
+                                 'Add them to default_values.txt or provide '
+                                 'the full sampling specification.')
+
+        for param, values in sample_config.items():
+            if param not in self.params:
+                print(f'Warning: sampled parameter {param} was not '
+                      'specified under [parameters]; it will be skipped.')
+                continue
+            values_list = values.split()
+
+            if len(values_list) > 1:
+                lower = (None if values_list[0] == 'None'
+                         else float(values_list[0]))
+                upper = (None if values_list[1] == 'None'
+                         else float(values_list[1]))
+                sample_params['limits'][param] = (lower, upper)
+            else:
+                if values_list[0] not in ['True', 'true', 't', 'y', 'yes']:
+                    continue
+                check_param(param)
+                sample_params['limits'][param] = \
+                    default_values[param]['limits']
+
+            if len(values_list) > 2:
+                sample_params['values'][param] = float(values_list[2])
+            else:
+                check_param(param)
+                sample_params['values'][param] = self.params[param]
+
+            if len(values_list) > 3:
+                assert len(values_list) == 4
+                sample_params['errors'][param] = float(values_list[3])
+            else:
+                check_param(param)
+                sample_params['errors'][param] = default_values[param]['error']
+
+            sample_params['fix'][param] = False
+
+        return sample_params
+
+    @staticmethod
+    def _gaussian_chi2_prior(value, mean, sigma):
+        return (value - mean) ** 2 / sigma ** 2
+
+    @staticmethod
+    def _gaussian_lik_prior(sigma):
+        return -0.5 * np.log(2 * np.pi) - np.log(sigma)
+
+    @staticmethod
+    def _init_priors(prior_config):
+        """(reference: vega_interface.py:827-851)"""
+        prior_dict = {}
+        for param, prior in prior_config.items():
+            prior_list = prior.split()
+            if len(prior_list) != 3:
+                raise ValueError('Prior format: "<param> = gaussian <mean> '
+                                 '<sigma>"')
+            if prior_list[0] not in ['gaussian', 'Gaussian']:
+                raise ValueError('Only gaussian priors are supported.')
+            prior_dict[param] = np.array(prior_list[1:]).astype(float)
+        return prior_dict
+
+    def _init_blinding(self):
+        """(reference: vega_interface.py:853-886)"""
+        blinding_strat = None
+        for data_obj in self.data.values():
+            if data_obj.blind:
+                self._blind = True
+                if blinding_strat is None:
+                    blinding_strat = data_obj.blinding_strat
+                elif blinding_strat != data_obj.blinding_strat:
+                    raise ValueError(
+                        'Different blinding strategies found in data sets.')
+
+        if not self._blind:
+            return
+
+        blind_pars = []
+        for par in self.sample_params['limits']:
+            if par in utils.BLIND_FIXED_PARS:
+                raise ValueError(
+                    f'Running on blind data, parameter {par} must be fixed.')
+            if par not in utils.VEGA_BLINDED_PARS:
+                continue
+            tracers = utils.VEGA_BLINDED_PARS[par]
+            if any(corr.check_if_blind_corr(tracers)
+                   for corr in self.corr_items.values()):
+                blind_pars += [par]
+
+        if blind_pars:
+            self._rnsps = utils.get_blinding(blind_pars, blinding_strat)
+
+        if ('bias_QSO' in self.sample_params['limits']
+                and 'beta_QSO' in self.sample_params['limits']):
+            raise ValueError(
+                'Running on blind data and sampling bias_QSO and beta_QSO.')
+
+    # ------------------------------------------------------------------
+    def read_global_cov(self, global_cov_file, scale=None):
+        """Joint covariance handling (reference: vega_interface.py:888-954)."""
+        print(f'INFO: Reading global covariance from {global_cov_file}')
+        hdul = read_fits(utils.find_file(global_cov_file))
+        self.global_cov = hdul[1]['COV'].astype(float)
+
+        if scale is not None:
+            print('Rescaling covariance by a factor of: ', scale)
+            self.global_cov *= scale
+        self._use_global_cov = True
+
+        self.full_data_mask = np.concatenate(
+            [self.data[name].data_mask for name in self.corr_items])
+        self.full_model_mask = np.concatenate(
+            [self.data[name].model_mask for name in self.corr_items])
+
+        if any(item.marginalize_small_scales
+               for item in self.corr_items.values()):
+            print('Updating global covariance with marginalization templates.')
+            j = 0
+            for name in self.corr_items:
+                data = self.data[name]
+                ndata = data.full_data_size
+                wd = data.data_mask
+                if self.corr_items[name].marginalize_small_scales:
+                    block = self.global_cov[j:j + ndata, j:j + ndata]
+                    if data.cov_marg_update is not None:
+                        block[np.ix_(wd, wd)] += data.cov_marg_update
+                    if self.low_mem_mode:
+                        del data.cov_marg_update
+                j += ndata
+
+        if self.low_mem_mode:
+            masked_cov = self.global_cov[np.ix_(self.full_data_mask,
+                                                self.full_data_mask)]
+            del self.global_cov
+            self.global_cov = None
+            self.masked_global_log_cov_det = np.linalg.slogdet(masked_cov)[1]
+            self.masked_global_invcov = np.linalg.inv(masked_cov)
+            del masked_cov
+        else:
+            self.masked_global_invcov = utils.compute_masked_invcov(
+                self.global_cov, self.full_data_mask)
+            self.masked_global_log_cov_det = utils.compute_log_cov_det(
+                self.global_cov, self.full_data_mask)
