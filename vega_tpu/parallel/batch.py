@@ -1,0 +1,225 @@
+"""Multi-chip batched likelihood evaluation.
+
+This replaces every parallelism pattern in the reference (SURVEY.md
+section 2.3 — all four are MPI fan-outs of independent likelihood
+evaluations) with the TPU-native equivalent: parameter batches are
+sharded over a jax.sharding.Mesh, each device evaluates the same jitted
+chi^2 graph on its shard (pure SPMD, no collectives on model data — the
+static arrays are replicated), and results are gathered for free by the
+output sharding.
+
+- sampler live points   (reference: bin/run_vega_mpi.py:24-57)
+- Monte-Carlo mock fits (reference: bin/run_vega_mc_mpi.py:53-65)
+- saved-mock re-fits    (reference: bin/run_vega_mc_fits_mpi.py:133-152)
+- PocoMC particle maps  (reference: bin/run_vega_mpi.py:98-121)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_device_mesh(n_devices=None, axis_name='batch'):
+    """1D device mesh over all (or the first n) local devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def _pad_to_multiple(arr, multiple):
+    n = arr.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return arr, n
+    pad_width = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad_width, mode='edge'), n
+
+
+class BatchedLikelihood:
+    """Sharded, vmapped chi^2 / log-likelihood over parameter batches.
+
+    Parameters arrive as a dict of name -> (n_batch,) arrays. The batch
+    axis is sharded over the mesh; the model constants are replicated.
+    """
+
+    def __init__(self, vega, mesh=None, axis_name='batch'):
+        self.vega = vega
+        self.mesh = mesh if mesh is not None else make_device_mesh(
+            axis_name=axis_name)
+        self.axis_name = axis_name
+        self._jit_cache = {}
+
+    @property
+    def n_devices(self):
+        return self.mesh.devices.size
+
+    def _build(self, key):
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        data_vecs = {k: jnp.asarray(v) for k, v in
+                     self.vega._current_data_vecs().items()}
+        cov_scales = self.vega._current_cov_scales()
+
+        def single(params):
+            return self.vega._chi2_graph(params, data_vecs, cov_scales)[0]
+
+        batch_sharding = NamedSharding(self.mesh, P(self.axis_name))
+        fn = jax.jit(
+            jax.vmap(single),
+            in_shardings=(batch_sharding,),
+            out_shardings=batch_sharding,
+        )
+        self._jit_cache[key] = fn
+        return fn
+
+    def chi2(self, param_batches):
+        """chi^2 for each row of the batch; pads the batch to a multiple
+        of the device count and strips the padding on return."""
+        names = tuple(sorted(param_batches.keys()))
+        batches = {k: np.asarray(v, dtype=np.float64)
+                   for k, v in param_batches.items()}
+        n = len(next(iter(batches.values())))
+        padded = {}
+        for k, v in batches.items():
+            padded[k], _ = _pad_to_multiple(v, self.n_devices)
+        fn = self._build(names)
+        with self.mesh:
+            out = fn(padded)
+        return np.asarray(out)[:n]
+
+    def log_lik(self, param_batches):
+        chi2 = self.chi2(param_batches)
+        log_lik = self.vega._log_norm() - 0.5 * chi2
+        for prior in self.vega.priors.values():
+            log_lik += self.vega._gaussian_lik_prior(prior[1])
+        return log_lik
+
+
+class MonteCarloEngine:
+    """Batched Monte-Carlo mock generation + fitting.
+
+    Mock generation is fiducial + L @ N(0, 1) with the Cholesky factor of
+    the masked covariance (reference: data.py:726-756), vmapped over
+    realizations with jax.random keys replacing np.random.seed(seed+rank)
+    (reference: bin/run_vega_mc_mpi.py:53-61).
+    """
+
+    def __init__(self, vega, mesh=None, axis_name='batch'):
+        self.vega = vega
+        self.mesh = mesh if mesh is not None else make_device_mesh(
+            axis_name=axis_name)
+        self.axis_name = axis_name
+
+    def generate_mocks(self, fiducial_model, num_mocks, seed=0, scale=None):
+        """Device-batched mock data vectors for each correlation.
+
+        Returns dict name -> (num_mocks, n_masked) arrays.
+        """
+        key = jax.random.PRNGKey(seed)
+        mocks = {}
+        for name in self.vega.corr_items:
+            data = self.vega.data[name]
+            item_scale = 1. if scale is None else scale
+            masked_cov = data.cov_mat[np.ix_(data.data_mask, data.data_mask)]
+            chol = np.linalg.cholesky(item_scale * masked_cov)
+
+            fid = np.asarray(fiducial_model[name])
+            if fid.size != data.full_data_size:
+                mask = data.dist_model_coordinates.get_mask_to_other(
+                    data.data_coordinates)
+                fid = fid[mask]
+            fid_masked = fid[data.data_mask]
+
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(
+                sub, (num_mocks, fid_masked.size), dtype=jnp.float64)
+            mocks[name] = np.asarray(
+                fid_masked[None, :] + noise @ jnp.asarray(chol).T)
+        return mocks
+
+    def fit_mocks(self, mocks, sample_params=None, max_iterations=200):
+        """Fit every mock with a batched, vmapped Newton/damped-GN loop.
+
+        All mocks are optimized simultaneously: each iteration evaluates
+        the chi^2 gradient and Hessian (exact, via jax) for the whole
+        batch, sharded across devices. Returns a dict with bestfit values,
+        errors, covariances, chi^2 and validity flags per mock.
+        """
+        vega = self.vega
+        if sample_params is None:
+            sample_params = (vega.mc_config['sample']
+                             if vega.mc_config is not None
+                             else vega.sample_params)
+        names = list(sample_params['limits'].keys())
+        x0 = jnp.array([sample_params['values'][n] for n in names])
+        lo = jnp.array([(-jnp.inf if sample_params['limits'][n][0] is None
+                         else sample_params['limits'][n][0]) for n in names])
+        hi = jnp.array([(jnp.inf if sample_params['limits'][n][1] is None
+                         else sample_params['limits'][n][1]) for n in names])
+
+        corr_names = list(vega.corr_items.keys())
+        num_mocks = len(next(iter(mocks.values())))
+        mock_arrays = {k: jnp.asarray(v) for k, v in mocks.items()}
+        cov_scales = {name: 1.0 for name in corr_names}
+
+        def chi2_of(x, data_vecs):
+            params = {n: x[i] for i, n in enumerate(names)}
+            return vega._chi2_graph(params, data_vecs, cov_scales)[0]
+
+        grad_fn = jax.grad(chi2_of)
+        hess_fn = jax.hessian(chi2_of)
+
+        def newton_step(x, data_vecs):
+            g = grad_fn(x, data_vecs)
+            h = hess_fn(x, data_vecs)
+            # Levenberg damping for robustness far from the minimum
+            damp = 1e-6 * jnp.trace(h) / len(names)
+            step = jnp.linalg.solve(
+                h + damp * jnp.eye(len(names)), g)
+            x_new = jnp.clip(x - step, lo, hi)
+            return x_new, g, h
+
+        def fit_one(data_vecs):
+            def body(carry, _):
+                x, _, _ = carry
+                x_new, g, h = newton_step(x, data_vecs)
+                return (x_new, g, h), None
+
+            init = (x0, jnp.zeros(len(names)),
+                    jnp.eye(len(names)))
+            (x, g, h), _ = jax.lax.scan(body, init, None,
+                                        length=max_iterations)
+            chi2 = chi2_of(x, data_vecs)
+            cov = 2.0 * jnp.linalg.inv(h)
+            errors = jnp.sqrt(jnp.clip(jnp.diag(cov), 0, None))
+            valid = jnp.all(jnp.abs(g) < 1e-3)
+            return x, errors, cov, chi2, valid
+
+        batch_sharding = NamedSharding(self.mesh, P(self.axis_name))
+        fit_batched = jax.jit(
+            jax.vmap(lambda dv: fit_one(dv)),
+            in_shardings=({k: batch_sharding for k in mock_arrays},),
+        )
+
+        padded = {}
+        for k, v in mock_arrays.items():
+            arr, _ = _pad_to_multiple(np.asarray(v), self.mesh.devices.size)
+            padded[k] = jnp.asarray(arr)
+
+        with self.mesh:
+            x, errors, cov, chi2, valid = fit_batched(padded)
+
+        sl = slice(0, num_mocks)
+        return {
+            'names': names,
+            'values': np.asarray(x)[sl],
+            'errors': np.asarray(errors)[sl],
+            'covariances': np.asarray(cov)[sl],
+            'chisq': np.asarray(chi2)[sl],
+            'valid': np.asarray(valid)[sl],
+        }
