@@ -23,6 +23,7 @@ from . import correlation_func as corr_func
 from . import pktoxi, power_spectrum, utils
 from .cosmo import ABSORBER_IGM
 from .io.fits import read_fits
+from .statics import is_identity, register as register_static, resolve
 
 
 class Metals:
@@ -86,6 +87,7 @@ class Metals:
         self.PktoXi = {}
         self.Xi_metal = {}
         self.rp_metal_dmats = {}
+        self._metal_mat_refs = {}
         if corr_item.has_metals:
             for corr_hash in corr_item.metal_correlations:
                 name1, name2 = corr_hash
@@ -99,7 +101,8 @@ class Metals:
                     else:
                         dmat, rp, rt, z = self.compute_metal_dmat(
                             name1, name2)
-                    self.rp_metal_dmats[corr_hash] = dmat
+                    self.rp_metal_dmats[corr_hash] = register_static(
+                        dmat, 'newmetal')
                     metal_coordinates = \
                         coordinates_mod.Coordinates.init_from_grids(
                             self._coordinates, rp, rt, z)
@@ -219,18 +222,26 @@ class Metals:
         are skipped entirely."""
         if self.new_metals:
             if self.rp_only_metal_mats:
-                dmat = jnp.asarray(self.rp_metal_dmats[corr_hash])
+                dmat = jnp.asarray(resolve(self.rp_metal_dmats[corr_hash]))
                 return (dmat @ xi.reshape(self.rp_nbins,
                                           self.rt_nbins)).flatten()
-            return jnp.asarray(self.rp_metal_dmats[corr_hash]) @ xi
+            return jnp.asarray(resolve(self.rp_metal_dmats[corr_hash])) @ xi
 
-        if corr_hash in self._data.metal_mats:
-            dmat = self._data.metal_mats[corr_hash]
-        else:
-            dmat = self._data.metal_mats[corr_hash[::-1]]
+        if corr_hash not in self._metal_mat_refs:
+            alt_hash = corr_hash if corr_hash in self._data.metal_mats \
+                else corr_hash[::-1]
+            dmat = self._data.metal_mats[alt_hash]
+            if dmat is not None and is_identity(dmat):
+                dmat = None
+            if dmat is not None:
+                dmat = register_static(np.asarray(dmat, dtype=np.float64),
+                                       'metalmat')
+            self._metal_mat_refs[corr_hash] = dmat
+
+        dmat = self._metal_mat_refs[corr_hash]
         if dmat is None:  # identity substitute in test mode
             return xi
-        return jnp.asarray(dmat) @ xi
+        return jnp.asarray(resolve(dmat)) @ xi
 
     # ------------------------------------------------------------------
     # New-metals distortion matrices (host-side init work;

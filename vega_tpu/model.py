@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from . import broadband_poly, metals
 from . import correlation_func as corr_func
 from . import pktoxi, power_spectrum
+from .statics import is_identity, register as register_static, resolve
 
 
 class Model:
@@ -73,11 +74,16 @@ class Model:
             corr_item.config['model'].getboolean(
                 'desi-instrumental-systematics', False)
 
-        # Dense distortion matrix shipped to device once
+        # Dense distortion matrix, shipped to device once via the statics
+        # store. When the matrix is exactly the identity (the reference
+        # substitutes eye matrices for absent distortion, data.py:78) the
+        # matmul is skipped entirely — numerically identical, no 50MB
+        # constant.
         self._dist_mat = None
         if self._has_distortion_mat:
-            self._dist_mat = np.asarray(self._data.distortion_mat,
-                                        dtype=np.float64)
+            dist = np.asarray(self._data.distortion_mat, dtype=np.float64)
+            if not is_identity(dist):
+                self._dist_mat = register_static(dist, 'dmat')
 
     # ------------------------------------------------------------------
     def _compute_model(self, pars, pk_lin, component='smooth',
@@ -119,8 +125,8 @@ class Model:
             xi_model = xi_model * self.broadband.compute(pars, 'pre-mul')
             xi_model = xi_model + self.broadband.compute(pars, 'pre-add')
 
-        if self._has_distortion_mat:
-            xi_model = jnp.asarray(self._dist_mat) @ xi_model
+        if self._dist_mat is not None:
+            xi_model = jnp.asarray(resolve(self._dist_mat)) @ xi_model
 
         if self.broadband is not None:
             xi_model = xi_model * self.broadband.compute(pars, 'post-mul')

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from vega_tpu.statics import STATICS
+
 
 def make_device_mesh(n_devices=None, axis_name='batch'):
     """1D device mesh over all (or the first n) local devices."""
@@ -61,17 +63,20 @@ class BatchedLikelihood:
         if key in self._jit_cache:
             return self._jit_cache[key]
 
+        self.vega._ensure_static_refs()
         data_vecs = {k: jnp.asarray(v) for k, v in
                      self.vega._current_data_vecs().items()}
         cov_scales = self.vega._current_cov_scales()
 
-        def single(params):
-            return self.vega._chi2_graph(params, data_vecs, cov_scales)[0]
+        def single(params, statics):
+            return self.vega._chi2_graph_bound(
+                params, data_vecs, cov_scales, statics)[0]
 
         batch_sharding = NamedSharding(self.mesh, P(self.axis_name))
+        replicated = NamedSharding(self.mesh, P())
         fn = jax.jit(
-            jax.vmap(single),
-            in_shardings=(batch_sharding,),
+            jax.vmap(single, in_axes=(0, None)),
+            in_shardings=(batch_sharding, replicated),
             out_shardings=batch_sharding,
         )
         self._jit_cache[key] = fn
@@ -89,7 +94,7 @@ class BatchedLikelihood:
             padded[k], _ = _pad_to_multiple(v, self.n_devices)
         fn = self._build(names)
         with self.mesh:
-            out = fn(padded)
+            out = fn(padded, STATICS.device_tree())
         return np.asarray(out)[:n]
 
     def log_lik(self, param_batches):
@@ -162,21 +167,23 @@ class MonteCarloEngine:
         hi = jnp.array([(jnp.inf if sample_params['limits'][n][1] is None
                          else sample_params['limits'][n][1]) for n in names])
 
+        vega._ensure_static_refs()
         corr_names = list(vega.corr_items.keys())
         num_mocks = len(next(iter(mocks.values())))
         mock_arrays = {k: jnp.asarray(v) for k, v in mocks.items()}
         cov_scales = {name: 1.0 for name in corr_names}
 
-        def chi2_of(x, data_vecs):
+        def chi2_of(x, data_vecs, statics):
             params = {n: x[i] for i, n in enumerate(names)}
-            return vega._chi2_graph(params, data_vecs, cov_scales)[0]
+            return vega._chi2_graph_bound(params, data_vecs, cov_scales,
+                                          statics)[0]
 
         grad_fn = jax.grad(chi2_of)
         hess_fn = jax.hessian(chi2_of)
 
-        def newton_step(x, data_vecs):
-            g = grad_fn(x, data_vecs)
-            h = hess_fn(x, data_vecs)
+        def newton_step(x, data_vecs, statics):
+            g = grad_fn(x, data_vecs, statics)
+            h = hess_fn(x, data_vecs, statics)
             # Levenberg damping for robustness far from the minimum
             damp = 1e-6 * jnp.trace(h) / len(names)
             step = jnp.linalg.solve(
@@ -184,26 +191,28 @@ class MonteCarloEngine:
             x_new = jnp.clip(x - step, lo, hi)
             return x_new, g, h
 
-        def fit_one(data_vecs):
+        def fit_one(data_vecs, statics):
             def body(carry, _):
                 x, _, _ = carry
-                x_new, g, h = newton_step(x, data_vecs)
+                x_new, g, h = newton_step(x, data_vecs, statics)
                 return (x_new, g, h), None
 
             init = (x0, jnp.zeros(len(names)),
                     jnp.eye(len(names)))
             (x, g, h), _ = jax.lax.scan(body, init, None,
                                         length=max_iterations)
-            chi2 = chi2_of(x, data_vecs)
+            chi2 = chi2_of(x, data_vecs, statics)
             cov = 2.0 * jnp.linalg.inv(h)
             errors = jnp.sqrt(jnp.clip(jnp.diag(cov), 0, None))
             valid = jnp.all(jnp.abs(g) < 1e-3)
             return x, errors, cov, chi2, valid
 
         batch_sharding = NamedSharding(self.mesh, P(self.axis_name))
+        replicated = NamedSharding(self.mesh, P())
         fit_batched = jax.jit(
-            jax.vmap(lambda dv: fit_one(dv)),
-            in_shardings=({k: batch_sharding for k in mock_arrays},),
+            jax.vmap(fit_one, in_axes=(0, None)),
+            in_shardings=({k: batch_sharding for k in mock_arrays},
+                          replicated),
         )
 
         padded = {}
@@ -212,7 +221,8 @@ class MonteCarloEngine:
             padded[k] = jnp.asarray(arr)
 
         with self.mesh:
-            x, errors, cov, chi2, valid = fit_batched(padded)
+            x, errors, cov, chi2, valid = fit_batched(
+                padded, STATICS.device_tree())
 
         sl = slice(0, num_mocks)
         return {

@@ -23,6 +23,7 @@ from scipy.special import loggamma
 
 from .ops.fftlog import FFTLogP2Xi
 from .ops.spline import notaknot_second_derivative_matrix, spline_eval
+from .statics import register as register_static, resolve
 
 # scipy.special.legendre(ell) monomial coefficients (poly1d order,
 # highest power first); exact binary fractions, so Horner evaluation
@@ -101,7 +102,9 @@ class PktoXi:
             s_mat = notaknot_second_derivative_matrix(logr)
             # pk_ell -> spline second derivatives, fused into one matmul
             sd_ops = np.einsum('ij,ljk->lik', s_mat, ops)
-            _OPERATOR_CACHE[cache_key] = (ops, logr, sd_ops)
+            _OPERATOR_CACHE[cache_key] = (
+                register_static(ops, 'fftops'), logr,
+                register_static(sd_ops, 'fftsd'))
         self.fft_ops, self.logr_knots, self.fft_sd_ops = \
             _OPERATOR_CACHE[cache_key]
 
@@ -131,8 +134,8 @@ class PktoXi:
         becomes the oob flag here.
         """
         pk_ells = self.legendre_proj @ pk                      # (n_ell, n_k)
-        xi_knots = jnp.einsum('lij,lj->li', self.fft_ops, pk_ells)
-        m_knots = jnp.einsum('lij,lj->li', self.fft_sd_ops, pk_ells)
+        xi_knots = jnp.einsum('lij,lj->li', resolve(self.fft_ops), pk_ells)
+        m_knots = jnp.einsum('lij,lj->li', resolve(self.fft_sd_ops), pk_ells)
 
         mask = r_grid != 0
         safe_r = jnp.where(mask, r_grid, 1.0)

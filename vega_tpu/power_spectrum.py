@@ -22,6 +22,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from . import utils
+from .statics import register as register_static, resolve
 
 
 class PowerSpectrum:
@@ -82,13 +83,25 @@ class PowerSpectrum:
         self.muk_grid = muk_grid[:, None]
         self.k_par_grid = self.k_grid * self.muk_grid
         self.k_trans_grid = self.k_grid * np.sqrt(1 - self.muk_grid ** 2)
+        # Large (muk x k) grids go through the statics store (shared by all
+        # tracer pairs on the same grids; see vega_tpu.statics)
+        self._kpar_ref = register_static(self.k_par_grid, 'kpar')
+        self._ktrans_ref = register_static(self.k_trans_grid, 'ktrans')
 
         # Static binning window G(k) (reference caches it lazily at
         # power_spectrum.py:139-141; here it is init-time)
         self.pk_Gk = None
+        self._pk_gk_ref = None
         if self.use_Gk:
             self.pk_Gk = np.asarray(self._gk_window(
                 self._bin_size_rp, self._bin_size_rt))
+            self._pk_gk_ref = register_static(self.pk_Gk, 'gk')
+
+    def _kp(self):
+        return resolve(self._kpar_ref)
+
+    def _kt(self):
+        return resolve(self._ktrans_ref)
 
     # ------------------------------------------------------------------
     # Main pipeline
@@ -132,7 +145,7 @@ class PowerSpectrum:
                 raise ValueError("Incorrect 'small scale nl' specified")
 
         if self.use_Gk:
-            pk_full = pk_full * self.pk_Gk
+            pk_full = pk_full * resolve(self._pk_gk_ref)
 
         if self.mock_bin_size is not None:
             pk_full = pk_full * self._compute_mock_binsize_gk(params)
@@ -210,17 +223,17 @@ class PowerSpectrum:
 
         if 'Rogers' in self.hcd_model:
             # Fourier transform of a Lorentzian profile (Rogers et al. 2018)
-            f_hcd = jnp.exp(-params['L0_hcd'] * self.k_par_grid)
+            f_hcd = jnp.exp(-params['L0_hcd'] * self._kp())
         elif 'fvoigt' in self.hcd_model:
             assert self._Fvoigt_data is not None
             L0 = params.get('L0_fvoigt', 1.)
             k_data = self._Fvoigt_data[:, 0]
             f_data = self._Fvoigt_data[:, 1]
-            f_hcd = jnp.interp(L0 * self.k_par_grid, k_data, f_data,
+            f_hcd = jnp.interp(L0 * self._kp(), k_data, f_data,
                                left=1., right=0.)
         elif 'sinc' in self.hcd_model:
             L0 = params.get('L0_sinc', 1.)
-            f_hcd = utils.sinc(self.k_par_grid * L0)
+            f_hcd = utils.sinc(self._kp() * L0)
         else:
             raise ValueError(f'Unknown hcd model {self.hcd_model}. '
                              "Choose from ['Rogers', 'fvoigt', 'sinc']")
@@ -242,8 +255,8 @@ class PowerSpectrum:
         elif sigma_par is None and sigma_trans is None:
             raise ValueError('No parameters for peak NL found. '
                              'Add sigmaNL_par and/or sigmaNL_per.')
-        peak_nl = (self.k_par_grid ** 2 * sigma_par ** 2
-                   + self.k_trans_grid ** 2 * sigma_trans ** 2)
+        peak_nl = (self._kp() ** 2 * sigma_par ** 2
+                   + self._kt() ** 2 * sigma_trans ** 2)
         return jnp.exp(-peak_nl / 2)
 
     def compute_dnl_mcdonald(self):
@@ -286,9 +299,9 @@ class PowerSpectrum:
         power_spectrum.py:481-502). Accepts traced bin sizes."""
         gk = 1.
         if not (isinstance(bin_size_rp, float) and bin_size_rp == 0):
-            gk = gk * utils.sinc(self.k_par_grid * bin_size_rp / 2)
+            gk = gk * utils.sinc(self._kp() * bin_size_rp / 2)
         if not (isinstance(bin_size_rt, float) and bin_size_rt == 0):
-            gk = gk * utils.sinc(self.k_trans_grid * bin_size_rt / 2)
+            gk = gk * utils.sinc(self._kt() * bin_size_rt / 2)
         return gk
 
     def compute_Gk(self, params):
@@ -311,9 +324,9 @@ class PowerSpectrum:
             per_size = 0.
         elif los is not None:
             raise ValueError(f'Unknown mock LOS smoothing option {los}.')
-        gk = utils.sinc(self.k_par_grid * par_size / 2)
+        gk = utils.sinc(self._kp() * par_size / 2)
         if not (isinstance(per_size, float) and per_size == 0):
-            gk = gk * utils.sinc(self.k_trans_grid * per_size / 2)
+            gk = gk * utils.sinc(self._kt() * per_size / 2)
         return gk
 
     def compute_fullshape_gauss_smoothing(self, params):
@@ -321,8 +334,8 @@ class PowerSpectrum:
         power_spectrum.py:504-553), incl. the squared variant and the
         per-tracer / metal fallbacks."""
         def gauss(sig_par, sig_trans):
-            return jnp.exp(-(self.k_par_grid ** 2 * sig_par ** 2
-                             + self.k_trans_grid ** 2 * sig_trans ** 2) / 2)
+            return jnp.exp(-(self._kp() ** 2 * sig_par ** 2
+                             + self._kt() ** 2 * sig_trans ** 2) / 2)
 
         check1 = self.tracer1_name in ['LYA', 'QSO']
         check2 = self.tracer2_name in ['LYA', 'QSO']
@@ -354,10 +367,10 @@ class PowerSpectrum:
     def compute_fullshape_exp_smoothing(self, params):
         """Gaussian + exponential smoothing for london mocks
         (reference: power_spectrum.py:560-586)."""
-        gauss_sm = (self.k_par_grid ** 2 * params['par_sigma_smooth'] ** 2
-                    + self.k_trans_grid ** 2 * params['per_sigma_smooth'] ** 2)
-        exp_sm = (jnp.abs(self.k_par_grid) * params['par_exp_smooth'] ** 2
-                  + jnp.abs(self.k_trans_grid) * params['per_exp_smooth'] ** 2)
+        gauss_sm = (self._kp() ** 2 * params['par_sigma_smooth'] ** 2
+                    + self._kt() ** 2 * params['per_sigma_smooth'] ** 2)
+        exp_sm = (jnp.abs(self._kp()) * params['par_exp_smooth'] ** 2
+                  + jnp.abs(self._kt()) * params['per_exp_smooth'] ** 2)
         return jnp.exp(-gauss_sm / 2) * jnp.exp(-exp_sm)
 
     def compute_velocity_dispersion_gauss(self, params):
@@ -367,11 +380,11 @@ class PowerSpectrum:
         smoothing = 1.
         if self.tracer1_type == 'discrete':
             sigma = params['sigma_velo_disp_gauss_' + self.tracer1_name]
-            smoothing = smoothing * jnp.exp(-0.25 * (self.k_par_grid * sigma) ** 2)
+            smoothing = smoothing * jnp.exp(-0.25 * (self._kp() * sigma) ** 2)
         if self.tracer2_type == 'discrete':
             sigma = params['sigma_velo_disp_gauss_' + self.tracer2_name]
-            smoothing = smoothing * jnp.exp(-0.25 * (self.k_par_grid * sigma) ** 2)
-        return smoothing * jnp.ones(self.k_par_grid.shape)
+            smoothing = smoothing * jnp.exp(-0.25 * (self._kp() * sigma) ** 2)
+        return smoothing * jnp.ones(self._kp().shape)
 
     def compute_velocity_dispersion_lorentz(self, params):
         """Lorentzian velocity dispersion (reference:
@@ -380,8 +393,8 @@ class PowerSpectrum:
         smoothing = 1.
         if self.tracer1_type == 'discrete':
             sigma = params['sigma_velo_disp_lorentz_' + self.tracer1_name]
-            smoothing = smoothing / jnp.sqrt(1 + (self.k_par_grid * sigma) ** 2)
+            smoothing = smoothing / jnp.sqrt(1 + (self._kp() * sigma) ** 2)
         if self.tracer2_type == 'discrete':
             sigma = params['sigma_velo_disp_lorentz_' + self.tracer2_name]
-            smoothing = smoothing / jnp.sqrt(1 + (self.k_par_grid * sigma) ** 2)
-        return smoothing * jnp.ones(self.k_par_grid.shape)
+            smoothing = smoothing / jnp.sqrt(1 + (self._kp() * sigma) ** 2)
+        return smoothing * jnp.ones(self._kp().shape)

@@ -1,0 +1,195 @@
+"""TPU-native batched nested sampler.
+
+Replaces the reference's PolyChord dependency (Fortran + MPI;
+reference: samplers/polychord.py, bin/run_vega_mpi.py) with a
+single-controller nested-sampling loop whose likelihood work is one
+vmapped, device-sharded batch per iteration:
+
+- K worst live points are replaced per iteration (batched kill).
+- Replacements evolve by constrained Gaussian random-walk MCMC started
+  from random survivors; all K chains step together, so each MCMC step
+  is ONE batched likelihood call (the TPU replaces PolyChord's MPI
+  fan-out of live-point evaluations).
+- Evidence from the standard shrinkage estimate ln X_i ~ -i / n_live.
+- Checkpoint/resume via npz state dumps (the reference relies on
+  PolyChord's write_resume/read_resume files).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .sampler_interface import Sampler
+
+
+class NestedSampler(Sampler):
+    """Batched nested sampler with uniform priors."""
+
+    def get_sampler_settings(self, sampler_config, num_params, num_derived):
+        self.num_live = sampler_config.getint('num_live', 25 * num_params)
+        self.num_repeats = sampler_config.getint('num_repeats',
+                                                 5 * num_params)
+        self.precision = sampler_config.getfloat('precision', 1e-3)
+        self.batch_size = sampler_config.getint(
+            'batch_size', max(1, self.num_live // 4))
+        self.max_iters = sampler_config.getint('max_iters', 100000)
+        self.seed = sampler_config.getint('seed', 0)
+        self.resume = sampler_config.getboolean('resume', True)
+        self.checkpoint_every = sampler_config.getint('checkpoint_every', 50)
+        self.checkpoint_path = Path(self.path) / (self.name + '.resume.npz')
+
+    # ------------------------------------------------------------------
+    def _batch_log_lik(self, theta):
+        """theta: (n, ndim) physical parameters -> (n,) log L."""
+        params = {name: theta[:, i] for i, name in enumerate(self.names)}
+        return np.asarray(self.log_lik(params))
+
+    def _mcmc_evolve(self, start, l_min, scale, rng):
+        """Evolve a batch of points with constrained random-walk MCMC.
+
+        All chains move together: each of the num_repeats steps is one
+        batched likelihood evaluation.
+        """
+        n, ndim = start.shape
+        theta = start.copy()
+        logl = self._batch_log_lik(self.prior_transform(theta))
+        n_accept = np.zeros(n)
+
+        cov = np.cov(self.live_u, rowvar=False)
+        cov += 1e-12 * np.eye(ndim)
+        chol = np.linalg.cholesky(cov)
+
+        for _ in range(self.num_repeats):
+            step = rng.normal(size=(n, ndim)) @ chol.T * scale
+            prop = theta + step
+            inside = np.all((prop > 0) & (prop < 1), axis=1)
+            prop = np.clip(prop, 1e-12, 1 - 1e-12)
+            logl_prop = self._batch_log_lik(self.prior_transform(prop))
+            accept = inside & (logl_prop > l_min)
+            theta = np.where(accept[:, None], prop, theta)
+            logl = np.where(accept, logl_prop, logl)
+            n_accept += accept
+        accept_rate = n_accept.mean() / self.num_repeats
+        return theta, logl, accept_rate
+
+    # ------------------------------------------------------------------
+    def run(self):
+        """Run the nested-sampling loop; returns a results dict and writes
+        the getdist chain + a stats file."""
+        rng = np.random.default_rng(self.seed)
+        ndim = self.num_params
+
+        state = None
+        if self.resume and self.checkpoint_path.exists():
+            print(f'Resuming from {self.checkpoint_path}')
+            state = dict(np.load(self.checkpoint_path))
+
+        if state is None:
+            self.live_u = rng.uniform(size=(self.num_live, ndim))
+            live_logl = self._batch_log_lik(self.prior_transform(self.live_u))
+            dead_u = np.empty((0, ndim))
+            dead_logl = np.empty(0)
+            log_x = 0.0
+            log_z = -np.inf
+            it = 0
+            scale = 0.5
+        else:
+            self.live_u = state['live_u']
+            live_logl = state['live_logl']
+            dead_u = state['dead_u']
+            dead_logl = state['dead_logl']
+            log_x = float(state['log_x'])
+            log_z = float(state['log_z'])
+            it = int(state['it'])
+            scale = float(state['scale'])
+
+        k = min(self.batch_size, self.num_live - 1)
+        dead_logw = list(np.atleast_1d(state['dead_logw'])) if state is not None \
+            else []
+
+        while it < self.max_iters:
+            order = np.argsort(live_logl)
+            worst = order[:k]
+            l_min = live_logl[worst[-1]]
+
+            # Shrinkage for the k simultaneous kills. Order statistics of
+            # uniform volumes: the j-th of k removals (no replacement until
+            # the batch completes) shrinks by E[dlnX] = -1/(N-j), so the
+            # batch total matches E[ln U_(N-k)] = -(psi(N+1) - psi(N-k+1)).
+            for j in range(k):
+                n_eff = self.num_live - j
+                logw = log_x + np.log(-np.expm1(-1.0 / n_eff))
+                dead_logw.append(logw + live_logl[worst[j]])
+                log_z = np.logaddexp(log_z, logw + live_logl[worst[j]])
+                log_x = log_x - 1.0 / n_eff
+
+            dead_u = np.vstack([dead_u, self.live_u[worst]])
+            dead_logl = np.concatenate([dead_logl, live_logl[worst]])
+
+            # Replace killed points from random survivors
+            survivors = order[k:]
+            seeds = survivors[rng.integers(0, len(survivors), size=k)]
+            new_u, new_logl, accept_rate = self._mcmc_evolve(
+                self.live_u[seeds], l_min, scale, rng)
+            self.live_u[worst] = new_u
+            live_logl[worst] = new_logl
+
+            # Adapt the proposal scale towards ~40% acceptance
+            if accept_rate > 0.5:
+                scale = min(scale * 1.2, 2.0)
+            elif accept_rate < 0.2:
+                scale = max(scale * 0.7, 1e-4)
+
+            it += 1
+            # Termination: the evidence still locked in the live points
+            # (bounded by max L * remaining X) is a negligible fraction of
+            # the accumulated evidence
+            log_z_live = np.max(live_logl) + log_x
+            done = (np.isfinite(log_z)
+                    and log_z_live - log_z < np.log(self.precision))
+            if it % 10 == 0 or done:
+                print(f'NS iter {it}: logZ = {log_z:.4f}, '
+                      f'logZ_live = {log_z_live:.4f}, '
+                      f'acc = {accept_rate:.2f}, scale = {scale:.3f}')
+            if it % self.checkpoint_every == 0 or done:
+                np.savez(self.checkpoint_path, live_u=self.live_u,
+                         live_logl=live_logl, dead_u=dead_u,
+                         dead_logl=dead_logl, dead_logw=np.array(dead_logw),
+                         log_x=log_x, log_z=log_z, it=it, scale=scale)
+            if done:
+                break
+
+        # Add the remaining live points
+        n_live_left = self.num_live
+        for idx in np.argsort(live_logl):
+            logw = log_x - np.log(n_live_left)
+            dead_logw.append(logw + live_logl[idx])
+            log_z = np.logaddexp(log_z, logw + live_logl[idx])
+        dead_u = np.vstack([dead_u, self.live_u[np.argsort(live_logl)]])
+        dead_logl = np.concatenate([dead_logl,
+                                    np.sort(live_logl)])
+
+        dead_logw = np.array(dead_logw)
+        weights = np.exp(dead_logw - np.max(dead_logw))
+        weights /= weights.sum()
+
+        samples = self.prior_transform(dead_u)
+        self.write_chain(samples, weights, dead_logl)
+
+        # Evidence error estimate: information-based
+        h_info = np.sum(weights * (dead_logl - log_z))
+        log_z_err = np.sqrt(max(h_info, 0.) / self.num_live)
+        stats_path = Path(self.path) / (self.name + '.stats')
+        with open(stats_path, 'w') as f:
+            f.write(f'logZ = {log_z} +/- {log_z_err}\n')
+            f.write(f'num_iterations = {it}\n')
+            f.write(f'num_like_evals = '
+                    f'{(it * k * (self.num_repeats + 1)) + self.num_live}\n')
+        print(f'log(Z) = {log_z} +/- {log_z_err}')
+
+        return {
+            'samples': samples, 'weights': weights, 'loglikes': dead_logl,
+            'logz': log_z, 'logz_err': log_z_err,
+        }

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from . import utils
+from .statics import STATICS, register as register_static, resolve
 from .analysis import Analysis
 from .correlation_item import CorrelationItem
 from .data import Data
@@ -204,8 +205,11 @@ class VegaInterface:
             from .plots.plot import VegaPlots
             self.plots = VegaPlots(vega_data=self.data)
 
-        # The compiled chi^2 graph (built lazily on first call)
+        # The compiled chi^2 graph (built lazily on first call); large
+        # constants (inverse covariances, marginalization matrices) are
+        # passed through the statics store as device-resident arguments
         self._jit_chi2 = None
+        self._static_refs_ready = False
 
     # ------------------------------------------------------------------
     # Model + chi2 graph
@@ -226,6 +230,31 @@ class VegaInterface:
             bad = bad | cf_bad
         return model_cf, bad
 
+    def _ensure_static_refs(self):
+        """Register the large chi^2-side constants in the statics store
+        (lazy: computing the inverse covariances happens once here)."""
+        if self._static_refs_ready:
+            return
+        self._invcov_refs = {}
+        self._marg_template_refs = {}
+        self._marg_coeff_refs = {}
+        if not self._use_global_cov:
+            for name in self.corr_items:
+                self._invcov_refs[name] = register_static(
+                    self.data[name].inv_masked_cov, 'invcov')
+        else:
+            self._global_invcov_ref = register_static(
+                self.masked_global_invcov, 'ginvcov')
+        for name in self.corr_items:
+            corr_data = self.data[name]
+            if corr_data.marg_templates is not None:
+                self._marg_template_refs[name] = register_static(
+                    np.asarray(corr_data.marg_templates), 'margt')
+            if corr_data.marg_diff2coeff_matrix is not None:
+                self._marg_coeff_refs[name] = register_static(
+                    corr_data.marg_diff2coeff_matrix, 'margc')
+        self._static_refs_ready = True
+
     def _chi2_graph(self, sample_params, data_vecs, cov_scales):
         """Traceable chi^2 of the sampled parameters.
 
@@ -234,6 +263,7 @@ class VegaInterface:
         cov_scales: dict name -> inverse-covariance scale factor (1 unless
         Monte-Carlo rescaling is active).
         """
+        self._ensure_static_refs()
         local_params = self._get_lcl_prms(sample_params)
         model_cf, bad = self._model_graph(local_params)
 
@@ -241,22 +271,23 @@ class VegaInterface:
         if self.marginalize_in_fit:
             marg_coeff = self._marg_coeff_graph(model_cf, data_vecs)
             for name in self.data:
-                if self.data[name].marg_templates is not None:
-                    model_cf[name] = model_cf[name] + jnp.asarray(
-                        self.data[name].marg_templates) @ marg_coeff[name]
+                if name in self._marg_template_refs:
+                    model_cf[name] = model_cf[name] + jnp.asarray(resolve(
+                        self._marg_template_refs[name])) @ marg_coeff[name]
 
         if self._use_global_cov:
             full_model = jnp.concatenate(
                 [model_cf[name] for name in self.corr_items])
             diff = data_vecs['_global'] - full_model[self.full_model_mask]
-            chi2 = diff @ (jnp.asarray(self.masked_global_invcov) @ diff)
+            inv_cov = jnp.asarray(resolve(self._global_invcov_ref))
+            chi2 = diff @ (inv_cov @ diff)
         else:
             chi2 = 0.
             for name in self.corr_items:
                 corr_data = self.data[name]
                 model_corr = model_cf[name][corr_data.model_mask]
                 diff = data_vecs[name] - model_corr
-                inv_cov = jnp.asarray(corr_data.inv_masked_cov)
+                inv_cov = jnp.asarray(resolve(self._invcov_refs[name]))
                 chi2 = chi2 + cov_scales[name] * (diff @ (inv_cov @ diff))
 
         chi2 = chi2 + self._prior_chi2_graph(local_params)
@@ -269,11 +300,11 @@ class VegaInterface:
         coeffs = {}
         for name in self.corr_items:
             corr_data = self.data[name]
-            if corr_data.marg_diff2coeff_matrix is None:
+            if name not in self._marg_coeff_refs:
                 continue
             diff = data_vecs[name] - model_cf[name][corr_data.model_mask]
             coeffs[name] = jnp.asarray(
-                corr_data.marg_diff2coeff_matrix) @ diff
+                resolve(self._marg_coeff_refs[name])) @ diff
         return coeffs
 
     def _prior_chi2_graph(self, local_params):
@@ -287,35 +318,45 @@ class VegaInterface:
                            / prior[1] ** 2)
         return chi2
 
+    def _chi2_graph_bound(self, sample_params, data_vecs, cov_scales,
+                          statics):
+        with STATICS.bind(statics):
+            return self._chi2_graph(sample_params, data_vecs, cov_scales)
+
     def _get_jit_chi2(self):
         if self._jit_chi2 is None:
-            self._jit_chi2 = jax.jit(self._chi2_graph)
+            self._ensure_static_refs()
+            self._jit_chi2 = jax.jit(self._chi2_graph_bound)
         return self._jit_chi2
 
     def chi2_gradient(self, params):
         """Exact d(chi^2)/d(theta) for the sampled parameters via jax.grad
         — replaces MINUIT's finite-difference gradient evaluations."""
         if not hasattr(self, '_jit_chi2_grad') or self._jit_chi2_grad is None:
+            self._ensure_static_refs()
             self._jit_chi2_grad = jax.jit(jax.grad(
-                lambda p, dv, cs: self._chi2_graph(p, dv, cs)[0]))
+                lambda p, dv, cs, st:
+                self._chi2_graph_bound(p, dv, cs, st)[0]))
         grads = self._jit_chi2_grad(
             {k: float(v) for k, v in params.items()},
-            self._current_data_vecs(), self._current_cov_scales())
+            self._current_data_vecs(), self._current_cov_scales(),
+            STATICS.device_tree())
         return {k: float(v) for k, v in grads.items()}
 
     def chi2_hessian(self, params, free_names):
         """Exact chi^2 Hessian over free_names via jax.hessian."""
+        self._ensure_static_refs()
         fixed = {k: float(v) for k, v in params.items()
                  if k not in free_names}
         free = {k: float(params[k]) for k in free_names}
         data_vecs = self._current_data_vecs()
         cov_scales = self._current_cov_scales()
 
-        def fn(free_p):
-            return self._chi2_graph({**fixed, **free_p}, data_vecs,
-                                    cov_scales)[0]
+        def fn(free_p, statics):
+            return self._chi2_graph_bound({**fixed, **free_p}, data_vecs,
+                                          cov_scales, statics)[0]
 
-        hess = jax.jit(jax.hessian(fn))(free)
+        hess = jax.jit(jax.hessian(fn))(free, STATICS.device_tree())
         return {n1: {n2: float(hess[n1][n2]) for n2 in free_names}
                 for n1 in free_names}
 
@@ -395,7 +436,7 @@ class VegaInterface:
         data_vecs = self._current_data_vecs()
         cov_scales = self._current_cov_scales()
         chi2, marg_coeff = self._get_jit_chi2()(
-            sample_params, data_vecs, cov_scales)
+            sample_params, data_vecs, cov_scales, STATICS.device_tree())
         chi2 = float(chi2)
 
         if return_marg_coeff:
@@ -492,10 +533,14 @@ class VegaInterface:
     # ------------------------------------------------------------------
     def chi2_batch(self, param_batches):
         """chi^2 for a batch: dict of name -> (n_batch,) arrays."""
+        self._ensure_static_refs()
         data_vecs = self._current_data_vecs()
         cov_scales = self._current_cov_scales()
-        fn = jax.vmap(lambda p: self._chi2_graph(p, data_vecs, cov_scales)[0])
-        return np.asarray(jax.jit(fn)(param_batches))
+        fn = jax.vmap(
+            lambda p, st: self._chi2_graph_bound(p, data_vecs, cov_scales,
+                                                 st)[0],
+            in_axes=(0, None))
+        return np.asarray(jax.jit(fn)(param_batches, STATICS.device_tree()))
 
     def log_lik_batch(self, param_batches):
         chi2 = self.chi2_batch(param_batches)
