@@ -145,7 +145,14 @@ class PowerSpectrum:
                 raise ValueError("Incorrect 'small scale nl' specified")
 
         if self.use_Gk:
-            pk_full = pk_full * resolve(self._pk_gk_ref)
+            # Per-dataset binsize overrides in the parameters take
+            # precedence over the config bin sizes (reference:
+            # power_spectrum.py:139-141 via compute_Gk's params lookup)
+            if (f'par binsize {self._name}' in params
+                    or f'per binsize {self._name}' in params):
+                pk_full = pk_full * self.compute_Gk(params)
+            else:
+                pk_full = pk_full * resolve(self._pk_gk_ref)
 
         if self.mock_bin_size is not None:
             pk_full = pk_full * self._compute_mock_binsize_gk(params)

@@ -173,7 +173,9 @@ class VegaInterface:
                 grad_func=self.chi2_gradient, hess_func=self.chi2_hessian)
         self.analysis = Analysis(self.chi2, self.sample_params,
                                  self.main_config, self.corr_items,
-                                 self.data, self.mc_config, self.global_cov)
+                                 self.data, self.mc_config, self.global_cov,
+                                 grad_func=self.chi2_gradient,
+                                 hess_func=self.chi2_hessian)
 
         self.corr_num_marg_modes = {}
         if self._has_data:
