@@ -129,6 +129,289 @@ class Metals:
                     scale_params, tracer1, tracer2, metal_corr=True,
                     cosmo=self.cosmo)
 
+        # Batched execution plan: None means fall back to the unrolled
+        # per-pair loop (exotic metal configs)
+        self._stacked_plans = None
+        if corr_item.has_metals:
+            self._stacked_plans = self._plan_stacking(corr_item)
+
+    # ------------------------------------------------------------------
+    # Stacked (batched) metal pipeline
+    # ------------------------------------------------------------------
+    def _plan_stacking(self, corr_item):
+        """Group metal pairs into classes whose whole Pk->Xi pipelines are
+        identical tensor programs differing only in scalars, so the ~15
+        sub-correlations run as ONE batched computation per class.
+
+        Returns None (fall back to the unrolled loop) when per-pair
+        structure differs in ways the stacked path does not express.
+        """
+        metals_config = corr_item.config['metals']
+        # Flags the stacked path does not support (rare in metal configs)
+        unsupported = ['model-hcd', 'UVB-fluctuations', 'HeII-reionization',
+                       'radiation effects', 'relativistic correction',
+                       'standard asymmetry', 'UVB-shotnoise',
+                       'single_multipole', 'new-bias-evolution',
+                       'rescale-coords-systematics', 'pk-damping-scale']
+        if any(key in metals_config for key in unsupported):
+            return None
+        if self.save_components or self.rp_only_metal_mats:
+            return None
+        if self._scale_params_like_metal_scaling():
+            return None
+        # Croom evolution needs the per-tracer branch; fall back
+        for key in metals_config:
+            if key.startswith('z evol') and 'croom' in metals_config[key]:
+                return None
+
+        has_arinyo = ('small scale nl' in metals_config
+                      and 'arinyo' in metals_config['small scale nl'])
+
+        classes = {}
+        for corr_hash in corr_item.metal_correlations:
+            name1, name2 = corr_hash
+            t1 = corr_item.tracer_catalog[name1]
+            t2 = corr_item.tracer_catalog[name2]
+            drp_name = None
+            if t1['type'] == 'discrete' and t2['type'] != 'discrete':
+                drp_name = 'drp_' + name1
+            elif t2['type'] == 'discrete' and t1['type'] != 'discrete':
+                drp_name = 'drp_' + name2
+            # Arinyo exponent per pair (reference: power_spectrum.py:448-477)
+            if has_arinyo:
+                two_lya = 'LY' in name1 and 'LY' in name2
+                one_lya = 'LY' in name1 or 'LY' in name2
+                exp = 1.0 if two_lya else (0.5 if one_lya else 0.0)
+            else:
+                exp = 0.0
+            key = (t1['type'], t2['type'], drp_name, exp)
+            classes.setdefault(key, []).append(corr_hash)
+
+        plans = []
+        for (type1, type2, drp_name, arinyo_exp), hashes in classes.items():
+            xi_objs = [self.Xi_metal[h] for h in hashes]
+            coords_r = np.stack([np.asarray(x._r) for x in xi_objs])
+            coords_mu = np.stack([np.asarray(x._mu) for x in xi_objs])
+            growth = np.stack([np.asarray(x.xi_growth) * np.ones_like(x._r)
+                               for x in xi_objs])
+            rel_z = np.stack([np.asarray(x._rel_z_evol)
+                              * np.ones_like(x._r) for x in xi_objs])
+
+            # Symmetry factor (reference: metals.py:237-239)
+            sym = np.array([2.0 if (self.is_auto_correlation and h[0] != h[1])
+                            else 1.0 for h in hashes])
+
+            # Kaiser moment tables: the pair dependence of the metal Pk is
+            # exactly (1 + (b1+b2) mu^2 + b1 b2 mu^4), so only THREE
+            # mu-moment Legendre projections of the shared grid are needed
+            # per class, independent of the number of pairs.
+            pktoxi_rep = self.PktoXi[hashes[0]]
+            muk = np.asarray(self.Pk_metal[hashes[0]].muk_grid).ravel()
+            moment_proj = np.stack([
+                pktoxi_rep.legendre_proj * muk[None, :] ** m
+                for m in (0, 2, 4)
+            ])  # (3, n_ell, n_muk)
+
+            plan = {
+                'hashes': hashes,
+                'types': (type1, type2),
+                'drp_name': drp_name,
+                'r': register_static(coords_r, 'met_r'),
+                'mu': register_static(coords_mu, 'met_mu'),
+                'growth': register_static(growth, 'met_growth'),
+                'rel_z': register_static(rel_z, 'met_relz'),
+                'arinyo_exp': arinyo_exp,
+                'moment_proj': moment_proj,
+                'sym': sym,
+                'pk_rep': self.Pk_metal[hashes[0]],
+                'pktoxi_rep': pktoxi_rep,
+            }
+            plans.append(plan)
+        return plans
+
+    def _scale_params_like_metal_scaling(self):
+        sp = self.Xi_metal[next(iter(self.Xi_metal))]._scale_params \
+            if self.Xi_metal else None
+        return bool(sp is not None and sp.metal_scaling)
+
+    def _pair_weights_and_betas(self, local_pars):
+        """Per-pair (weight, beta1, beta2, alpha1, alpha2) scalars
+        matching the unrolled loop's algebra (reference: metals.py:286-334)."""
+        out = {}
+        for corr_hash in self._corr_item.metal_correlations:
+            name1, name2 = corr_hash
+            pars = dict(local_pars)
+            if self.single_metal_beta:
+                if name1 not in self.main_tracers:
+                    pars[f'beta_{name1}'] = pars['beta_metals']
+                if name2 not in self.main_tracers:
+                    pars[f'beta_{name2}'] = pars['beta_metals']
+            bias1, beta1, bias2, beta2 = utils.bias_beta(pars, name1, name2)
+            is_cross_main = (name1 in self.main_tracers
+                             or name2 in self.main_tracers)
+            weight = bias1 * bias2
+            if (self.separate_metal_auto_biases and not is_cross_main
+                    and name1 != name2):
+                if f'bias_{name1}_{name2}' in pars:
+                    weight = weight * pars[f'bias_{name1}_{name2}']
+                elif f'bias_{name2}_{name1}' in pars:
+                    weight = weight * pars[f'bias_{name2}_{name1}']
+                else:
+                    raise ValueError(
+                        f'No separate auto bias for {corr_hash}.')
+            alpha1 = pars[f'alpha_{name1}']
+            alpha2 = pars[f'alpha_{name2}']
+            out[corr_hash] = (weight, beta1, beta2, alpha1, alpha2)
+        return out
+
+    def compute_stacked(self, pars, pk_lin, component):
+        """Batched metal computation: one tensor program per class
+        (algebraically identical to the unrolled `compute`)."""
+        local_pars = dict(pars)
+        if self.fast_metals:
+            if 'growth_rate' in local_pars and self.growth_rate is not None:
+                local_pars['growth_rate'] = self.growth_rate
+
+        pair_scalars = self._pair_weights_and_betas(local_pars)
+        xi_metals = jnp.zeros(self.size)
+        bad = jnp.asarray(False)
+
+        for plan in self._stacked_plans:
+            hashes = plan['hashes']
+            weights = jnp.stack(
+                [pair_scalars[h][0] * plan['sym'][i]
+                 for i, h in enumerate(hashes)])
+            beta1 = jnp.stack([pair_scalars[h][1] for h in hashes])
+            beta2 = jnp.stack([pair_scalars[h][2] for h in hashes])
+            alpha1 = jnp.stack([pair_scalars[h][3] for h in hashes])
+            alpha2 = jnp.stack([pair_scalars[h][4] for h in hashes])
+
+            # Shared (mu_k, k) grid: pk_lin times every factor that is
+            # identical across the class (arinyo via the class exponent)
+            pk_obj = plan['pk_rep']
+            shared, shared_bad = self._class_shared_factors(
+                pk_obj, local_pars)
+            bad = bad | shared_bad
+            grid = jnp.broadcast_to(
+                jnp.asarray(pk_lin),
+                (pk_obj.muk_grid.shape[0], len(pk_obj.k_grid)))
+            if shared is not None:
+                grid = grid * shared
+            if pk_obj.small_scale_nl is not None \
+                    and 'arinyo' in pk_obj.small_scale_nl \
+                    and plan['arinyo_exp'] != 0.0:
+                dnl, dnl_bad = pk_obj.compute_dnl_arinyo(local_pars)
+                bad = bad | dnl_bad
+                if plan['arinyo_exp'] == 1.0:
+                    grid = grid * dnl
+                else:
+                    grid = grid * jnp.sqrt(dnl)
+
+            # Kaiser moment factorization: project the shared grid with
+            # the three mu^(0,2,4)-weighted Legendre tables ONCE, then each
+            # pair is a 3-term FMA with s = b1+b2, q = b1*b2. The (p, mu_k,
+            # k) tensor of the naive batching never materializes.
+            pktoxi_obj = plan['pktoxi_rep']
+            proj_m = jnp.einsum('mln,nk->mlk',
+                                jnp.asarray(plan['moment_proj']), grid)
+            fft_ops = jnp.asarray(resolve(pktoxi_obj.fft_ops))
+            sd_ops = jnp.asarray(resolve(pktoxi_obj.fft_sd_ops))
+            t_m = jnp.einsum('lij,mlj->mli', fft_ops, proj_m)   # (3, l, n)
+            d_m = jnp.einsum('lij,mlj->mli', sd_ops, proj_m)
+
+            s_p = beta1 + beta2
+            q_p = beta1 * beta2
+            coeffs = jnp.stack([jnp.ones_like(s_p), s_p, q_p])  # (3, p)
+            xi_knots = jnp.einsum('mp,mli->pli', coeffs, t_m)
+            m_knots = jnp.einsum('mp,mli->pli', coeffs, d_m)
+
+            # Rescaled coordinates (ap = at = 1 for metals without
+            # metal-scaling; reference: scale_parameters.py:56-57)
+            r_grid = jnp.asarray(resolve(plan['r']))        # (p, n)
+            mu_grid = jnp.asarray(resolve(plan['mu']))
+            drp = (local_pars.get(plan['drp_name'], 0.)
+                   if plan['drp_name'] is not None else 0.)
+            mask = r_grid != 0
+            rp = r_grid * mu_grid + drp * mask
+            rt = r_grid * jnp.sqrt(1 - mu_grid ** 2)
+            resc_r = jnp.sqrt(rp ** 2 + rt ** 2)
+            safe_r = jnp.where(mask & (resc_r != 0), resc_r, 1.0)
+            resc_mu = jnp.where(mask, rp / safe_r, 0.)
+            log_r = jnp.log(jnp.where(mask, jnp.maximum(resc_r, 1e-300),
+                                      1.0))
+
+            from .ops.spline import spline_eval
+            vals, oob = spline_eval(
+                pktoxi_obj.logr_knots, xi_knots, m_knots,
+                log_r[:, None, :])                           # (p, l, n)
+            bad = bad | jnp.any(oob[:, 0, :] & mask)
+
+            from .pktoxi import legendre
+            leg = jnp.stack([legendre(ell, resc_mu)
+                             for ell in pktoxi_obj.ell_vals])  # (l, p, n)
+            xi_stack = jnp.einsum('pln,lpn->pn', vals, leg)
+            xi_stack = jnp.where(mask, xi_stack, 0.)
+
+            # Bias z-evolution and growth (std model; reference:
+            # correlation_func.py:332-349)
+            rel_z = jnp.asarray(resolve(plan['rel_z']))
+            xi_stack = xi_stack * rel_z ** alpha1[:, None] \
+                * rel_z ** alpha2[:, None]
+            xi_stack = xi_stack * jnp.asarray(resolve(plan['growth']))
+
+            # Metal matrices + weighted accumulation
+            contributions = []
+            for i, h in enumerate(hashes):
+                xi_i = self.apply_metal_matrix(xi_stack[i], h)
+                contributions.append(weights[i] * xi_i)
+            xi_metals = xi_metals + sum(contributions)
+
+        return xi_metals, bad
+
+    def _class_shared_factors(self, pk_obj, local_pars):
+        """Multiplicative (nmuk, nk) factors shared by every pair of a
+        class: binning window, mock smoothing, full-shape smoothing,
+        velocity dispersion (reference: power_spectrum.py:137-196)."""
+        factor = None
+        bad = jnp.asarray(False)
+
+        def mul(fac, new):
+            return new if fac is None else fac * new
+
+        if pk_obj.use_Gk:
+            factor = mul(factor, resolve(pk_obj._pk_gk_ref))
+        if pk_obj.mock_bin_size is not None:
+            factor = mul(factor, pk_obj._compute_mock_binsize_gk(local_pars))
+        if pk_obj.fullshape_smoothing is not None:
+            if 'gauss' in pk_obj.fullshape_smoothing:
+                factor = mul(factor,
+                             pk_obj.compute_fullshape_gauss_smoothing(
+                                 local_pars))
+            elif 'exp' in pk_obj.fullshape_smoothing:
+                factor = mul(factor,
+                             pk_obj.compute_fullshape_exp_smoothing(
+                                 local_pars))
+        if pk_obj.velocity_dispersion is not None:
+            if 'lorentz_gauss' in pk_obj.velocity_dispersion:
+                factor = mul(factor,
+                             pk_obj.compute_velocity_dispersion_lorentz(
+                                 local_pars))
+                factor = mul(factor,
+                             pk_obj.compute_velocity_dispersion_gauss(
+                                 local_pars))
+            elif 'gauss' in pk_obj.velocity_dispersion:
+                factor = mul(factor,
+                             pk_obj.compute_velocity_dispersion_gauss(
+                                 local_pars))
+            elif 'lorentz' in pk_obj.velocity_dispersion:
+                factor = mul(factor,
+                             pk_obj.compute_velocity_dispersion_lorentz(
+                                 local_pars))
+        if pk_obj.small_scale_nl is not None \
+                and 'mcdonald' in pk_obj.small_scale_nl:
+            factor = mul(factor, pk_obj.compute_dnl_mcdonald())
+        return factor, bad
+
     # ------------------------------------------------------------------
     def compute_metal_corr(self, pars, pk_lin, corr_hash, fast_metals,
                            add_metal_dmat=True, component=None):
@@ -165,6 +448,10 @@ class Metals:
         algebraically identical to recomputing, and recompute is free
         under jit."""
         assert self._corr_item.has_metals
+
+        if self._stacked_plans is not None:
+            return self.compute_stacked(pars, pk_lin, component)
+
         local_pars = dict(pars)
 
         if self.fast_metals:
