@@ -603,9 +603,72 @@ class Metals:
             scaling = 1.
         return true_z, assumed_z, weights, scaling
 
+    def _pair_histogram_native(self, true_abs_1, true_abs_2, rp_edges,
+                               n_ratio_bins):
+        """Streamed O(n1*n2) pair histograms via the C++ kernel
+        (vega_tpu/native/pair_hist.cpp); returns None when unavailable."""
+        from .native import (native_available, pair_histograms,
+                             pair_ratio_range)
+        if not native_available():
+            return None
+
+        true_z1, assumed_z1, weights1, scaling_1 = self._tracer_weights(
+            self._corr_item.tracer1, 0, true_abs_1)
+        true_z2, assumed_z2, weights2, scaling_2 = self._tracer_weights(
+            self._corr_item.tracer2, 1, true_abs_2)
+        if np.any(true_z1 < 0) or np.any(true_z2 < 0):
+            raise ValueError(
+                'Attempting to compute distance to a negative redshift')
+
+        true_r1 = self.cosmo.get_r_comov(true_z1)
+        true_r2 = self.cosmo.get_r_comov(true_z2)
+        assumed_r1 = self.cosmo.get_r_comov(assumed_z1)
+        assumed_r2 = self.cosmo.get_r_comov(assumed_z2)
+        abs_rp = int('discrete' not in self.main_tracer_types)
+
+        ratio_edges = None
+        if n_ratio_bins:
+            lo, hi = pair_ratio_range(true_r1, assumed_r1, true_r2,
+                                      assumed_r2)
+            if lo == hi:  # np.histogram degenerate-range convention
+                lo, hi = lo - 0.5, hi + 0.5
+            ratio_edges = np.linspace(lo, hi, n_ratio_bins + 1)
+
+        out = pair_histograms(
+            true_r1, assumed_r1, true_z1 * np.ones_like(true_r1),
+            assumed_z1 * np.ones_like(assumed_r1),
+            weights1 * scaling_1 * np.ones_like(true_r1),
+            true_r2, assumed_r2, true_z2 * np.ones_like(true_r2),
+            assumed_z2 * np.ones_like(assumed_r2),
+            weights2 * scaling_2 * np.ones_like(true_r2),
+            abs_rp, self.zmin, self.zmax, rp_edges, ratio_edges)
+        h2, sum_true, sum_assumed, sum_assumed_rp, sum_z, ratio_hist = out
+        ratios = ((ratio_edges[1:] + ratio_edges[:-1]) / 2
+                  if ratio_edges is not None else None)
+        return (h2, sum_true, sum_assumed, sum_assumed_rp, sum_z,
+                ratio_hist, ratios)
+
     def compute_metal_dmat(self, true_abs_1, true_abs_2):
         """Full 2D (rp (x) rt) metal distortion matrix from stacked-delta
-        weights (reference: metals.py:502-654)."""
+        weights (reference: metals.py:502-654). Uses the streamed C++
+        pair-histogram kernel when available; the numpy path materializes
+        the full pair arrays like the reference."""
+        rp_edges = np.linspace(self._coordinates.rp_min,
+                               self._coordinates.rp_max, self.rp_nbins + 1)
+        rt_edges = np.linspace(0, self._coordinates.rt_max,
+                               self.rt_nbins + 1)
+
+        native = self._pair_histogram_native(
+            true_abs_1, true_abs_2, rp_edges, 4 * rt_edges.size)
+        if native is not None:
+            (rp_1d_dmat, _, sum_w, sum_w_rp, sum_w_z, ratio_weights,
+             ratios) = native
+            col_sum = np.sum(rp_1d_dmat, axis=0)
+            rp_1d_dmat = rp_1d_dmat / (col_sum + (col_sum == 0))
+            return self._assemble_metal_dmat(
+                rp_1d_dmat, sum_w, sum_w_rp, sum_w_z, ratio_weights,
+                ratios, rt_edges)
+
         true_z1, assumed_z1, weights1, scaling_1 = self._tracer_weights(
             self._corr_item.tracer1, 0, true_abs_1)
         true_z2, assumed_z2, weights2, scaling_2 = self._tracer_weights(
@@ -621,17 +684,11 @@ class Metals:
         weights = weights * ((zpair >= self.zmin)
                              & (zpair <= self.zmax)).ravel()
 
-        rp_edges = np.linspace(self._coordinates.rp_min,
-                               self._coordinates.rp_max, self.rp_nbins + 1)
-
         rp_1d_dmat, _, _ = np.histogram2d(
             assumed_rp_pairs, true_rp_pairs, bins=(rp_edges, rp_edges),
             weights=weights)
         col_sum = np.sum(rp_1d_dmat, axis=0)
         rp_1d_dmat /= (col_sum + (col_sum == 0))
-
-        rt_edges = np.linspace(0, self._coordinates.rt_max,
-                               self.rt_nbins + 1)
 
         # Distance-ratio histogram with solid-angle weighting, restricted
         # to small true rp (reference: metals.py:585-588)
@@ -641,6 +698,23 @@ class Metals:
             * (np.abs(true_rp_pairs) < 20.))
         ratios = (ratio_bins[1:] + ratio_bins[:-1]) / 2
 
+        # Effective coordinates (reference: metals.py:624-654)
+        sum_w, _ = np.histogram(assumed_rp_pairs, bins=rp_edges,
+                                weights=weights)
+        sum_w_rp, _ = np.histogram(assumed_rp_pairs, bins=rp_edges,
+                                   weights=weights * assumed_rp_pairs)
+        sum_w_z, _ = np.histogram(
+            assumed_rp_pairs, bins=rp_edges,
+            weights=weights
+            * ((true_z1[:, None] + true_z2[None, :]) / 2.).ravel())
+        return self._assemble_metal_dmat(
+            rp_1d_dmat, sum_w, sum_w_rp, sum_w_z, ratio_weights, ratios,
+            rt_edges)
+
+    def _assemble_metal_dmat(self, rp_1d_dmat, sum_w, sum_w_rp, sum_w_z,
+                             ratio_weights, ratios, rt_edges):
+        """rt distortion from the ratio histogram + (rp (x) rt) assembly
+        and effective coordinates (reference: metals.py:592-654)."""
         rt_centers = (rt_edges[:-1] + rt_edges[1:]) / 2
         rt_half = self._coordinates.rt_binsize / 2
         oversample = 7
@@ -660,15 +734,6 @@ class Metals:
         dmat = np.einsum('ij,kl->ikjl', rp_1d_dmat, rt_1d_dmat).reshape(
             n_total, n_total)
 
-        # Effective coordinates (reference: metals.py:624-654)
-        sum_w, _ = np.histogram(assumed_rp_pairs, bins=rp_edges,
-                                weights=weights)
-        sum_w_rp, _ = np.histogram(assumed_rp_pairs, bins=rp_edges,
-                                   weights=weights * assumed_rp_pairs)
-        sum_w_z, _ = np.histogram(
-            assumed_rp_pairs, bins=rp_edges,
-            weights=weights
-            * ((true_z1[:, None] + true_z2[None, :]) / 2.).ravel())
         rp_eff_1d = sum_w_rp / (sum_w + (sum_w == 0))
         z_eff_1d = sum_w_z / (sum_w + (sum_w == 0))
 
@@ -684,7 +749,20 @@ class Metals:
                 z_eff_1d[rp_index])
 
     def compute_metal_rp_dmat(self, true_abs_1, true_abs_2):
-        """rp-only metal distortion matrix (reference: metals.py:656-752)."""
+        """rp-only metal distortion matrix (reference: metals.py:656-752).
+        Uses the streamed C++ pair-histogram kernel when available."""
+        rp_edges = np.linspace(self._coordinates.rp_min,
+                               self._coordinates.rp_max, self.rp_nbins + 1)
+
+        native = self._pair_histogram_native(true_abs_1, true_abs_2,
+                                             rp_edges, 0)
+        if native is not None:
+            dmat, sum_true, sum_w, sum_w_rp, sum_w_z, _, _ = native
+            dmat = dmat * ((sum_true > 0)
+                           / (sum_true + (sum_true == 0)))[None, :]
+            return self._assemble_metal_rp_dmat(dmat, sum_w, sum_w_rp,
+                                                sum_w_z)
+
         true_z1, assumed_z1, weights1, scaling_1 = self._tracer_weights(
             self._corr_item.tracer1, 0, true_abs_1)
         true_z2, assumed_z2, weights2, scaling_2 = self._tracer_weights(
@@ -699,8 +777,6 @@ class Metals:
         weights = weights * ((zpair >= self.zmin)
                              & (zpair <= self.zmax)).ravel()
 
-        rp_edges = np.linspace(self._coordinates.rp_min,
-                               self._coordinates.rp_max, self.rp_nbins + 1)
         dmat, _, _ = np.histogram2d(
             assumed_rp_pairs, true_rp_pairs, bins=(rp_edges, rp_edges),
             weights=weights)
@@ -716,6 +792,11 @@ class Metals:
             assumed_rp_pairs, bins=rp_edges,
             weights=weights
             * ((true_z1[:, None] + true_z2[None, :]) / 2.).ravel())
+        return self._assemble_metal_rp_dmat(dmat, sum_w, sum_w_rp, sum_w_z)
+
+    def _assemble_metal_rp_dmat(self, dmat, sum_w, sum_w_rp, sum_w_z):
+        """Effective-coordinate assembly for the rp-only matrix
+        (reference: metals.py:731-752)."""
         rp_eff = sum_w_rp / (sum_w + (sum_w == 0))
         z_eff = sum_w_z / (sum_w + (sum_w == 0))
 
