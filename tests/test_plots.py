@@ -1,0 +1,96 @@
+"""Wedge / shell weight matrices and panel plots."""
+
+import matplotlib
+
+matplotlib.use('Agg')
+
+import numpy as np
+import pytest
+
+from vega_tpu.plots.rt_wedges import RtWedge
+from vega_tpu.plots.shell import Shell
+from vega_tpu.plots.wedges import Wedge
+
+
+def test_wedge_recovers_constant():
+    """A constant field compresses to the same constant in every wedge."""
+    wedge = Wedge(mu=(0.0, 1.0))
+    data = np.full(2500, 3.5)
+    r, w = wedge(data)
+    mask = wedge.weights.sum(axis=1) > 0
+    np.testing.assert_allclose(w[mask], 3.5)
+    assert len(r) == 50
+
+
+def test_wedge_covariance_propagation():
+    wedge = Wedge(mu=(0.5, 1.0))
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=2500)
+    cov = np.diag(rng.uniform(0.5, 2.0, 2500))
+    r, w, w_cov = wedge(data, cov)
+    assert w_cov.shape == (50, 50)
+    assert np.all(np.diag(w_cov) >= 0)
+
+
+def test_wedge_mu_selection():
+    """A field that lives only at high mu only shows up in high-mu wedges."""
+    coords_mu = np.zeros((50, 50))
+    rp = np.arange(2., 200., 4.)
+    rt = np.arange(2., 200., 4.)
+    rt_mesh, rp_mesh = np.meshgrid(rt, rp)
+    mu = rp_mesh / np.sqrt(rp_mesh ** 2 + rt_mesh ** 2)
+    data = (mu > 0.95).flatten().astype(float)
+    del coords_mu
+
+    high = Wedge(mu=(0.95, 1.0))
+    low = Wedge(mu=(0.0, 0.5))
+    _, w_high = high(data)
+    _, w_low = low(data)
+    assert w_high[high.weights.sum(axis=1) > 0].mean() > 0.8
+    assert w_low[low.weights.sum(axis=1) > 0].mean() < 0.1
+
+
+def test_shell_constant():
+    shell = Shell(r=(60, 90))
+    data = np.full(2500, -1.25)
+    ang, sh = shell(data)
+    mask = shell.weights.sum(axis=1) > 0
+    np.testing.assert_allclose(sh[mask], -1.25)
+    assert np.all(np.diff(ang) > 0)
+
+
+def test_rt_wedge():
+    w = RtWedge(rt_cut=(0., 8.0))
+    data = np.arange(2500, dtype=float)
+    r, vals = w(data)
+    assert len(r) == 50
+    assert np.isfinite(vals).all()
+
+
+def test_vega_plots_panels(tmp_path):
+    from vega_tpu.testing import make_synthetic_dataset
+    from vega_tpu.vega_interface import VegaInterface
+
+    vega = VegaInterface(make_synthetic_dataset(tmp_path, cross=False))
+    model = vega.compute_model(run_init=False)
+    name = next(iter(model))
+
+    fig = vega.plots.plot_4wedges(models=[model[name]], corr_name=name,
+                                  mu_bin_labels=True, model_colors=['r'])
+    assert len(fig.axes) == 4
+    fig = vega.plots.plot_4shells(model=model[name], corr_name=name)
+    assert len(fig.axes) == 4
+
+
+def test_sensitivity_plot(tmp_path):
+    from vega_tpu.testing import make_synthetic_dataset
+    from vega_tpu.vega_interface import VegaInterface
+
+    vega = VegaInterface(make_synthetic_dataset(tmp_path, cross=False,
+                                                size='tiny', noise=1.0))
+    vega.minimize()
+    vega.compute_sensitivity(verbose=False)
+    name = next(iter(vega.corr_items))
+    pname = next(iter(vega.sample_params['limits']))
+    fig = vega.plots.plot_sensitivity(vega.sensitivity, name, pname)
+    assert fig is not None
