@@ -51,7 +51,10 @@ def test_gaussian_chain(fitted_vega):
     names = list(results.params.keys())
     chain = results.chain
     assert chain.samples.shape[1] == len(names)
-    # chain statistics match the bestfit within Monte-Carlo tolerance
-    mean = chain.samples[:, 0].mean()
-    assert mean == pytest.approx(results.mean[0],
-                                 abs=5 * results.sigmas[names[0]])
+    # Gaussian draws reproduce the written mean/covariance
+    sample_std = chain.samples.std(axis=0)
+    np.testing.assert_allclose(
+        chain.samples.mean(axis=0), results.mean,
+        atol=5 * np.max(sample_std) / np.sqrt(len(chain.samples)) + 1e-12)
+    np.testing.assert_allclose(
+        sample_std ** 2, np.diag(results.cov), rtol=0.1)
