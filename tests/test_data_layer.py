@@ -64,6 +64,7 @@ def test_monte_carlo_mock(tmp_path):
     mock = data.create_monte_carlo(fiducial, seed=42)
     assert mock.shape == (data.full_data_size,)
     assert np.isfinite(mock[data.data_mask]).all()
-    # identity covariance -> mock scatter about the fiducial ~ N(0,1)
+    # normalized residuals about the fiducial ~ N(0, 1)
     resid = mock[data.data_mask] - fiducial[data.data_mask]
-    assert 0.7 < resid.std() < 1.3
+    pulls = resid / np.sqrt(data.variance[data.data_mask])
+    assert 0.7 < pulls.std() < 1.3

@@ -122,7 +122,11 @@ def _write_correlation_data(path, is_cross, z_eff, rng, model_xi=None,
         model_xi = (5e-3 / r ** 1.5 * (1 + 0.3 * np.exp(
             -(r - 105.0) ** 2 / (2 * 15.0 ** 2))))
 
-    da = model_xi + noise * rng.normal(size=n) * 1e-4
+    # Realistic per-bin uncertainties (S/N ~ 20) so synthetic fits are
+    # well-conditioned; written as a diagonal covariance
+    sigma = 1e-6 + 0.05 * np.abs(model_xi)
+    da = model_xi + noise * sigma * rng.normal(size=n)
+    cov = np.diag(sigma ** 2)
     z = np.full(n, z_eff)
     nb = np.full(n, 1000, dtype=np.int64)
 
@@ -134,7 +138,7 @@ def _write_correlation_data(path, is_cross, z_eff, rng, model_xi=None,
     write_fits(path, [
         {'name': 'COR', 'header': header,
          'columns': {'RP': coords.rp_grid, 'RT': coords.rt_grid, 'Z': z,
-                     'DA': da, 'NB': nb}},
+                     'DA': da, 'CO': cov, 'NB': nb}},
         {'name': 'DMATTRI',
          'columns': {'DMRP': coords.rp_grid, 'DMRT': coords.rt_grid,
                      'DMZ': z}},
@@ -167,6 +171,7 @@ def make_synthetic_dataset(workdir, cross=True, sample=None, seed=0,
     ini_files = [workdir / 'lyaxlya.ini']
     ini_files[0].write_text(_auto_ini(auto_file, extra_model=extra_model))
 
+    cross_file = None
     if cross:
         cross_file = workdir / 'xcf_synthetic.fits'
         _write_correlation_data(cross_file, True, z_eff, rng, noise=noise,
@@ -179,4 +184,16 @@ def make_synthetic_dataset(workdir, cross=True, sample=None, seed=0,
     main_path.write_text(_main_ini(
         ini_files, template_file, workdir / 'output', sample=sample,
         zeff=z_eff))
+
+    # Second pass: regenerate the data vectors from the actual model at
+    # the default parameters so fits are well-posed (truth = defaults)
+    from .vega_interface import VegaInterface
+    vega = VegaInterface(main_path)
+    model_cf = vega.compute_model(run_init=False)
+    for name, corr_item in vega.corr_items.items():
+        is_cross = corr_item.tracer1['type'] != corr_item.tracer2['type']
+        fname = cross_file if is_cross else auto_file
+        _write_correlation_data(fname, is_cross, z_eff, rng,
+                                model_xi=np.asarray(model_cf[name]),
+                                noise=noise, nt=nt)
     return main_path
