@@ -89,12 +89,20 @@ class PowerSpectrum:
         self._ktrans_ref = register_static(self.k_trans_grid, 'ktrans')
 
         # Static binning window G(k) (reference caches it lazily at
-        # power_spectrum.py:139-141; here it is init-time)
+        # power_spectrum.py:139-141; here it is init-time). Computed with
+        # numpy: eager jax ops at init would each dispatch/compile on the
+        # device, which is pathological over a remote-TPU transport.
         self.pk_Gk = None
         self._pk_gk_ref = None
         if self.use_Gk:
-            self.pk_Gk = np.asarray(self._gk_window(
-                self._bin_size_rp, self._bin_size_rt))
+            gk = np.ones_like(self.k_par_grid)
+            if self._bin_size_rp != 0:
+                gk = gk * utils.np_sinc(self.k_par_grid
+                                        * self._bin_size_rp / 2)
+            if self._bin_size_rt != 0:
+                gk = gk * utils.np_sinc(self.k_trans_grid
+                                        * self._bin_size_rt / 2)
+            self.pk_Gk = gk
             self._pk_gk_ref = register_static(self.pk_Gk, 'gk')
 
     def _kp(self):

@@ -375,6 +375,17 @@ class VegaInterface:
         return {name: self.data[name].masked_data_vec
                 for name in self.corr_items}
 
+    def _current_data_vecs_device(self):
+        """Device-resident data vectors, cached so repeated chi^2 calls do
+        not re-transfer them (matters over a remote-TPU transport)."""
+        vecs = self._current_data_vecs()
+        key = (self.monte_carlo,) + tuple(id(v) for v in vecs.values())
+        if getattr(self, '_data_vec_cache_key', None) != key:
+            self._data_vec_cache = {k: jnp.asarray(v)
+                                    for k, v in vecs.items()}
+            self._data_vec_cache_key = key
+        return self._data_vec_cache
+
     def _current_cov_scales(self):
         scales = {}
         for name in self.corr_items:
@@ -392,31 +403,56 @@ class VegaInterface:
     def compute_model(self, params=None, run_init=True, direct_pk=None,
                       marg_coeff=None):
         """Model correlations for each component as numpy arrays
-        (reference: vega_interface.py:208-248)."""
+        (reference: vega_interface.py:208-248).
+
+        The standard path goes through a jitted graph (one compile per
+        parameter-key-set); eager tracing is kept only for run_init,
+        direct_pk and save-components modes (which store intermediates).
+        """
         local_params = self._get_lcl_prms(params)
 
-        model_cf = {}
-        if run_init:
-            self.models = {}
-        for name, corr_item in self.corr_items.items():
-            if run_init:
-                self.models[name] = Model(corr_item, self.fiducial,
-                                          self.scale_params, self.data[name])
-            if direct_pk is None:
-                cf, bad = self.models[name].compute(
-                    local_params, self.fiducial['pk_full'],
-                    self.fiducial['pk_smooth'])
-            else:
-                cf, bad = self.models[name].compute_direct(
-                    local_params, direct_pk)
-            if self.model_pk:
-                model_cf[name] = np.asarray(cf)
-                continue
+        use_jit = (not run_init and direct_pk is None and not self.model_pk
+                   and not self.fiducial.get('save-components', False))
+        if use_jit:
+            self._ensure_static_refs()
+            if getattr(self, '_jit_model', None) is None:
+                def model_bound(lp, statics):
+                    with STATICS.bind(statics):
+                        return self._model_graph(lp)
+                self._jit_model = jax.jit(model_bound)
+            cf_dict, bad = self._jit_model(local_params,
+                                           STATICS.device_tree())
             if bool(bad):
                 raise utils.VegaModelError(
-                    f'Model evaluation failed for {name} '
-                    '(out-of-bounds interpolation or non-finite factor)')
-            model_cf[name] = np.asarray(cf)
+                    'Model evaluation failed (out-of-bounds interpolation '
+                    'or non-finite factor)')
+            model_cf = {name: np.asarray(cf) for name, cf in cf_dict.items()}
+        else:
+            model_cf = {}
+            if run_init:
+                self.models = {}
+                self._jit_model = None
+                self._jit_chi2 = None
+            for name, corr_item in self.corr_items.items():
+                if run_init:
+                    self.models[name] = Model(
+                        corr_item, self.fiducial, self.scale_params,
+                        self.data[name])
+                if direct_pk is None:
+                    cf, bad = self.models[name].compute(
+                        local_params, self.fiducial['pk_full'],
+                        self.fiducial['pk_smooth'])
+                else:
+                    cf, bad = self.models[name].compute_direct(
+                        local_params, direct_pk)
+                if self.model_pk:
+                    model_cf[name] = np.asarray(cf)
+                    continue
+                if bool(bad):
+                    raise utils.VegaModelError(
+                        f'Model evaluation failed for {name} '
+                        '(out-of-bounds interpolation or non-finite factor)')
+                model_cf[name] = np.asarray(cf)
 
         if marg_coeff is not None:
             for name in self.data:
@@ -435,7 +471,7 @@ class VegaInterface:
             return self._chi2_eager(params, direct_pk, return_marg_coeff)
 
         sample_params = {} if params is None else dict(params)
-        data_vecs = self._current_data_vecs()
+        data_vecs = self._current_data_vecs_device()
         cov_scales = self._current_cov_scales()
         chi2, marg_coeff = self._get_jit_chi2()(
             sample_params, data_vecs, cov_scales, STATICS.device_tree())
