@@ -13,9 +13,23 @@ __version__ = '0.1.0'
 # f64 everywhere: the correctness oracle is chi^2 agreement with the
 # reference at ~1e-8 relative. TPU runs can opt into mixed precision via
 # the precision knob on the likelihood builder.
+import os as _os
+
 import jax as _jax
 
 _jax.config.update('jax_enable_x64', True)
+
+# Persistent compilation cache: remote-TPU cold compiles are expensive
+# (minutes); cached executables load in seconds across processes.
+_cache_dir = _os.environ.get('VEGA_TPU_COMP_CACHE',
+                             _os.path.expanduser('~/.cache/vega_tpu_xla'))
+if _cache_dir and _cache_dir != '0':
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update('jax_compilation_cache_dir', _cache_dir)
+        _jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+    except Exception:  # cache is an optimization, never fatal
+        pass
 
 _EXPORTS = {
     'VegaInterface': 'vega_tpu.vega_interface',

@@ -78,13 +78,17 @@ velocity dispersion = lorentz
 """
 
 
-def _main_ini(ini_files, template_file, out_file, sample=None, zeff=2.33):
+def _main_ini(ini_files, template_file, out_file, sample=None, zeff=2.33,
+              global_cov_file=None, extra_control=''):
     sample = sample or {'bias_LYA': 'True', 'beta_LYA': 'True'}
     sample_block = '\n'.join(f'{k} = {v}' for k, v in sample.items())
     params_block = '\n'.join(f'{k} = {v}' for k, v in DEFAULT_PARAMS.items())
+    global_cov_line = (f'global-cov-file = {global_cov_file}'
+                       if global_cov_file else '')
     return f"""[data sets]
 zeff = {zeff}
 ini files = {' '.join(str(f) for f in ini_files)}
+{global_cov_line}
 
 [cosmo-fit type]
 cosmo fit func = ap_at
@@ -94,6 +98,7 @@ filename = {template_file}
 
 [control]
 sampler = Polychord
+{extra_control}
 
 [output]
 filename = {out_file}
@@ -107,7 +112,7 @@ filename = {out_file}
 
 
 def _write_correlation_data(path, is_cross, z_eff, rng, model_xi=None,
-                            noise=0.0, nt=50):
+                            noise=0.0, nt=50, with_distortion=False):
     """Write a picca-export-style correlation FITS file with synthetic
     contents (same layout as reference tests/data/*-exp.fits.gz)."""
     if is_cross:
@@ -135,10 +140,17 @@ def _write_correlation_data(path, is_cross, z_eff, rng, model_xi=None,
         'RTMAX': coords.rt_max, 'NP': coords.rp_nbins,
         'NT': coords.rt_nbins, 'BLINDING': 'none',
     }
+    columns = {'RP': coords.rp_grid, 'RT': coords.rt_grid, 'Z': z,
+               'DA': da, 'CO': cov, 'NB': nb}
+    if with_distortion:
+        # A mild smoothing distortion along rt (banded, row-normalized)
+        dm = np.eye(n) * 0.9
+        off = np.eye(n, k=1) * 0.05 + np.eye(n, k=-1) * 0.05
+        dm = dm + off
+        dm /= dm.sum(axis=1, keepdims=True)
+        columns['DM'] = dm
     write_fits(path, [
-        {'name': 'COR', 'header': header,
-         'columns': {'RP': coords.rp_grid, 'RT': coords.rt_grid, 'Z': z,
-                     'DA': da, 'CO': cov, 'NB': nb}},
+        {'name': 'COR', 'header': header, 'columns': columns},
         {'name': 'DMATTRI',
          'columns': {'DMRP': coords.rp_grid, 'DMRT': coords.rt_grid,
                      'DMZ': z}},
@@ -147,11 +159,15 @@ def _write_correlation_data(path, is_cross, z_eff, rng, model_xi=None,
 
 
 def make_synthetic_dataset(workdir, cross=True, sample=None, seed=0,
-                           noise=0.0, size='full'):
+                           noise=0.0, size='full', with_distortion=False,
+                           extra_model='', extra_control='',
+                           global_cov=False):
     """Create a complete synthetic fit setup; returns the main.ini path.
 
     size='tiny' shrinks every axis (k grid, mu_k bins, rp/rt bins) for
-    fast compile checks and multi-device dry runs.
+    fast compile checks and multi-device dry runs. with_distortion adds a
+    banded DM matrix; global_cov also writes a block-diagonal joint
+    covariance file and points [data sets] at it.
     """
     workdir = Path(workdir)
     workdir.mkdir(parents=True, exist_ok=True)
@@ -160,40 +176,72 @@ def make_synthetic_dataset(workdir, cross=True, sample=None, seed=0,
     tiny = size == 'tiny'
     n_k = 128 if tiny else 814
     nt = 10 if tiny else 50
-    extra_model = 'num_bins_muk = 50\nell_max = 6' if tiny else ''
+    model_lines = ('num_bins_muk = 50\nell_max = 6\n' if tiny else '')
+    model_lines += extra_model
 
     template_file = workdir / 'fiducial_eh98.fits'
     make_fiducial_template(template_file, n_k=n_k)
 
     z_eff = 2.33
     auto_file = workdir / 'cf_synthetic.fits'
-    _write_correlation_data(auto_file, False, z_eff, rng, noise=noise, nt=nt)
+    _write_correlation_data(auto_file, False, z_eff, rng, noise=noise,
+                            nt=nt, with_distortion=with_distortion)
     ini_files = [workdir / 'lyaxlya.ini']
-    ini_files[0].write_text(_auto_ini(auto_file, extra_model=extra_model))
+    ini_files[0].write_text(_auto_ini(auto_file, extra_model=model_lines))
 
     cross_file = None
     if cross:
         cross_file = workdir / 'xcf_synthetic.fits'
         _write_correlation_data(cross_file, True, z_eff, rng, noise=noise,
-                                nt=nt)
+                                nt=nt, with_distortion=with_distortion)
         cross_ini = workdir / 'qsoxlya.ini'
-        cross_ini.write_text(_cross_ini(cross_file, extra_model=extra_model))
+        cross_ini.write_text(_cross_ini(cross_file, extra_model=model_lines))
         ini_files.append(cross_ini)
+
+    global_cov_file = None
+    if global_cov:
+        global_cov_file = workdir / 'global_cov.fits'
 
     main_path = workdir / 'main.ini'
     main_path.write_text(_main_ini(
         ini_files, template_file, workdir / 'output', sample=sample,
-        zeff=z_eff))
+        zeff=z_eff, extra_control=extra_control))
 
     # Second pass: regenerate the data vectors from the actual model at
     # the default parameters so fits are well-posed (truth = defaults)
+    from .io.fits import read_fits
     from .vega_interface import VegaInterface
     vega = VegaInterface(main_path)
+    if vega.model_pk:
+        # multipole-output mode has no data-space model to resample
+        return main_path
     model_cf = vega.compute_model(run_init=False)
     for name, corr_item in vega.corr_items.items():
         is_cross = corr_item.tracer1['type'] != corr_item.tracer2['type']
         fname = cross_file if is_cross else auto_file
         _write_correlation_data(fname, is_cross, z_eff, rng,
                                 model_xi=np.asarray(model_cf[name]),
-                                noise=noise, nt=nt)
+                                noise=noise, nt=nt,
+                                with_distortion=with_distortion)
+
+    if global_cov:
+        # Block-diagonal joint covariance matching the per-corr ones
+        blocks = []
+        for name, corr_item in vega.corr_items.items():
+            is_cross = corr_item.tracer1['type'] != corr_item.tracer2['type']
+            fname = cross_file if is_cross else auto_file
+            blocks.append(read_fits(fname)[1]['CO'])
+        n_total = sum(b.shape[0] for b in blocks)
+        cov = np.zeros((n_total, n_total))
+        off = 0
+        for b in blocks:
+            cov[off:off + len(b), off:off + len(b)] = b
+            off += len(b)
+        write_fits(global_cov_file, [{'name': 'COV',
+                                      'columns': {'COV': cov}}])
+        main_path.write_text(_main_ini(
+            ini_files, template_file, workdir / 'output', sample=sample,
+            zeff=z_eff, global_cov_file=global_cov_file,
+            extra_control=extra_control))
+
     return main_path
