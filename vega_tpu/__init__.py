@@ -19,10 +19,10 @@ import jax as _jax
 
 _jax.config.update('jax_enable_x64', True)
 
-# Persistent compilation cache: remote-TPU cold compiles are expensive
-# (minutes); cached executables load in seconds across processes.
-_cache_dir = _os.environ.get('VEGA_TPU_COMP_CACHE',
-                             _os.path.expanduser('~/.cache/vega_tpu_xla'))
+# Optional persistent compilation cache (opt-in via VEGA_TPU_COMP_CACHE;
+# not enabled by default because remote-TPU PJRT plugins may not support
+# executable deserialization).
+_cache_dir = _os.environ.get('VEGA_TPU_COMP_CACHE', '')
 if _cache_dir and _cache_dir != '0':
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
