@@ -29,6 +29,8 @@ def main():
     # Precision knob: f64 matches the reference at 1e-9 relative but is
     # software-emulated on TPU; f32 is the throughput mode.
     precision = os.environ.get('VEGA_TPU_BENCH_PRECISION', 'f64')
+    if precision == 'f32':
+        os.environ['VEGA_TPU_X64'] = '0'
     import jax
     if precision == 'f32':
         jax.config.update('jax_enable_x64', False)

@@ -1,0 +1,46 @@
+"""Pallas fused spline+Legendre kernel vs the XLA reference path
+(interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vega_tpu.ops.pallas_spline import spline_legendre_combine
+from vega_tpu.ops.spline import (
+    notaknot_second_derivative_matrix, spline_eval)
+
+
+def test_matches_xla_path():
+    rng = np.random.default_rng(0)
+    n_knots, n_ell, n_q = 256, 4, 2500
+    knots = np.linspace(-3.0, 8.0, n_knots)
+    y = rng.normal(size=(n_ell, n_knots))
+    s_mat = notaknot_second_derivative_matrix(knots)
+    m = y @ s_mat.T
+    xq = rng.uniform(-3.0, 8.0, n_q)
+    leg = rng.normal(size=(n_ell, n_q))
+
+    # XLA reference (f32 to match the kernel's precision)
+    vals, _ = spline_eval(jnp.asarray(knots, jnp.float32),
+                          jnp.asarray(y, jnp.float32)[:, None, :],
+                          jnp.asarray(m, jnp.float32)[:, None, :],
+                          jnp.asarray(xq, jnp.float32)[None, :])
+    expected = np.sum(np.asarray(vals[:, 0, :]) * leg.astype(np.float32),
+                      axis=0)
+
+    out = spline_legendre_combine(knots, y, m, xq, leg, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), expected,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_query_count_not_tile_multiple():
+    rng = np.random.default_rng(1)
+    knots = np.linspace(0.0, 1.0, 64)
+    y = rng.normal(size=(2, 64))
+    s_mat = notaknot_second_derivative_matrix(knots)
+    m = y @ s_mat.T
+    xq = rng.uniform(0, 1, 777)
+    leg = np.ones((2, 777))
+    out = spline_legendre_combine(knots, y, m, xq, leg, interpret=True)
+    assert out.shape == (777,)
+    assert np.isfinite(np.asarray(out)).all()

@@ -17,7 +17,10 @@ import os as _os
 
 import jax as _jax
 
-_jax.config.update('jax_enable_x64', True)
+# VEGA_TPU_X64=0 opts into the f32 throughput mode (benchmarking /
+# sampling-grade accuracy); default is full f64 parity mode.
+if _os.environ.get('VEGA_TPU_X64', '1') != '0':
+    _jax.config.update('jax_enable_x64', True)
 
 # Optional persistent compilation cache (opt-in via VEGA_TPU_COMP_CACHE;
 # not enabled by default because remote-TPU PJRT plugins may not support

@@ -72,12 +72,27 @@ def spline_eval(x_knots, y, second_derivs, x_query):
         the flag into the chi^2 = 1e100 penalty, preserving the reference's
         VegaBoundsError semantics, vega_interface.py:270-279)
     """
+    x_knots_np = np.asarray(x_knots)
+    n = x_knots_np.shape[0]
+    spacing = np.diff(x_knots_np)
+    uniform = np.allclose(spacing, spacing[0], rtol=1e-12, atol=1e-14)
+
     x_knots = jnp.asarray(x_knots)
-    n = x_knots.shape[0]
     oob = (x_query < x_knots[0]) | (x_query > x_knots[-1])
     xq = jnp.clip(x_query, x_knots[0], x_knots[-1])
 
-    j = jnp.clip(jnp.searchsorted(x_knots, xq, side='right') - 1, 0, n - 2)
+    if uniform:
+        # log-spaced r -> uniform knots: direct arithmetic indexing
+        # instead of a binary search per query
+        step = (x_knots_np[-1] - x_knots_np[0]) / (n - 1)
+        j = jnp.clip(((xq - x_knots[0]) / step).astype(jnp.int32), 0, n - 2)
+        # guard against float roundoff landing one interval high/low
+        j = jnp.where(xq < x_knots[j], j - 1, j)
+        j = jnp.where(xq >= x_knots[jnp.minimum(j + 1, n - 1)], j + 1, j)
+        j = jnp.clip(j, 0, n - 2)
+    else:
+        j = jnp.clip(jnp.searchsorted(x_knots, xq, side='right') - 1,
+                     0, n - 2)
     x_lo = x_knots[j]
     x_hi = x_knots[j + 1]
     h = x_hi - x_lo
