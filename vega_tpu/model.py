@@ -87,10 +87,14 @@ class Model:
 
     # ------------------------------------------------------------------
     def _compute_model(self, pars, pk_lin, component='smooth',
-                       xi_metals=None):
+                       xi_metals=None, pk_model=None, bad_in=None):
         """One component's correlation function (reference: model.py:79-155).
-        Returns (xi, bad_flag)."""
-        pk_model, bad = self.Pk_core.compute(pk_lin, pars)
+        Returns (xi, bad_flag). pk_model may be precomputed by compute()
+        so the peak/smooth passes share their common factor pipeline."""
+        if pk_model is None:
+            pk_model, bad = self.Pk_core.compute(pk_lin, pars)
+        else:
+            bad = bad_in if bad_in is not None else jnp.asarray(False)
 
         if self._model_pk:
             return self.PktoXi.compute_pk_ells(pk_model), bad
@@ -139,11 +143,24 @@ class Model:
 
     def compute(self, pars, pk_full, pk_smooth):
         """Peak/smooth decomposition (reference: model.py:157-187).
-        Returns (xi_full, bad_flag)."""
+        Returns (xi_full, bad_flag).
+
+        The multiplicative factor pipeline (Kaiser, HCD, NL, windows,
+        smoothings) is identical for the peak and smooth components of
+        one evaluation, so it is built once and only the peak broadening
+        differs (the reference recomputes it per component behind value
+        caches)."""
         pars = dict(pars)
+        pk_peak_lin = np.asarray(pk_full) - np.asarray(pk_smooth)
+
         pars['peak'] = True
+        skip_nl = self.Pk_core.skip_nl_model_in_peak
+        factor_peak, bad_f = self.Pk_core._shared_factor(pars,
+                                                         skip_nl=skip_nl)
+        pk_peak = (jnp.asarray(pk_peak_lin) * factor_peak
+                   * self.Pk_core.compute_peak_nl(pars))
         xi_peak, bad_peak = self._compute_model(
-            pars, np.asarray(pk_full) - np.asarray(pk_smooth), 'peak')
+            pars, pk_peak_lin, 'peak', pk_model=pk_peak, bad_in=bad_f)
 
         pars['peak'] = False
         xi_metals = None
@@ -151,8 +168,15 @@ class Model:
         if self._corr_item.has_metals and self.no_metal_decomp:
             xi_metals, bad_metals = self.metals.compute(pars, pk_full, 'full')
 
+        if skip_nl:
+            factor_smooth, bad_f2 = self.Pk_core._shared_factor(pars)
+            bad_metals = bad_metals | bad_f2
+        else:
+            factor_smooth = factor_peak
+        pk_smooth_grid = jnp.asarray(pk_smooth) * factor_smooth
         xi_smooth, bad_smooth = self._compute_model(
-            pars, pk_smooth, 'smooth', xi_metals=xi_metals)
+            pars, pk_smooth, 'smooth', xi_metals=xi_metals,
+            pk_model=pk_smooth_grid)
 
         xi_full = pars['bao_amp'] * xi_peak + xi_smooth
         return xi_full, bad_peak | bad_metals | bad_smooth

@@ -119,6 +119,20 @@ class PowerSpectrum:
 
         Mirrors reference power_spectrum.py:87-196 stage by stage.
         """
+        peak = bool(params['peak'])
+        factor, bad = self._shared_factor(params, fast_metals,
+                                          skip_nl=(self.skip_nl_model_in_peak
+                                                   and peak))
+        pk_full = jnp.asarray(pk_lin) * factor
+        if peak:
+            pk_full = pk_full * self.compute_peak_nl(params)
+        return pk_full, bad
+
+    def _shared_factor(self, params, fast_metals=False, skip_nl=False):
+        """Every multiplicative factor except the peak broadening — the
+        part shared between the peak and smooth components of one
+        evaluation, so it is computed once (the reference recomputes it
+        per component and leans on value caches)."""
         bad = jnp.asarray(False)
 
         bias1, beta1, bias2, beta2 = utils.bias_beta(
@@ -136,19 +150,15 @@ class PowerSpectrum:
             if self.tracer2_name == 'LYA':
                 bias2, beta2 = self.compute_bias_beta_hcd(bias2, beta2, params)
 
-        pk_full = jnp.asarray(pk_lin) * self.compute_kaiser(
-            bias1, beta1, bias2, beta2, fast_metals)
-
-        peak = bool(params['peak'])
-        skip_nl = self.skip_nl_model_in_peak and peak
+        factor = self.compute_kaiser(bias1, beta1, bias2, beta2, fast_metals)
 
         if self.small_scale_nl is not None and not skip_nl:
             if 'arinyo' in self.small_scale_nl:
                 dnl, dnl_bad = self.compute_dnl_arinyo(params)
-                pk_full = pk_full * dnl
+                factor = factor * dnl
                 bad = bad | dnl_bad
             elif 'mcdonald' in self.small_scale_nl:
-                pk_full = pk_full * self.compute_dnl_mcdonald()
+                factor = factor * self.compute_dnl_mcdonald()
             else:
                 raise ValueError("Incorrect 'small scale nl' specified")
 
@@ -158,43 +168,40 @@ class PowerSpectrum:
             # power_spectrum.py:139-141 via compute_Gk's params lookup)
             if (f'par binsize {self._name}' in params
                     or f'per binsize {self._name}' in params):
-                pk_full = pk_full * self.compute_Gk(params)
+                factor = factor * self.compute_Gk(params)
             else:
-                pk_full = pk_full * resolve(self._pk_gk_ref)
+                factor = factor * resolve(self._pk_gk_ref)
 
         if self.mock_bin_size is not None:
-            pk_full = pk_full * self._compute_mock_binsize_gk(params)
-
-        if peak:
-            pk_full = pk_full * self.compute_peak_nl(params)
+            factor = factor * self._compute_mock_binsize_gk(params)
 
         if self.fullshape_smoothing is not None and not skip_nl:
             if 'gauss' in self.fullshape_smoothing:
-                pk_full = pk_full * self.compute_fullshape_gauss_smoothing(params)
+                factor = factor * self.compute_fullshape_gauss_smoothing(params)
             elif 'exp' in self.fullshape_smoothing:
-                pk_full = pk_full * self.compute_fullshape_exp_smoothing(params)
+                factor = factor * self.compute_fullshape_exp_smoothing(params)
             else:
                 raise ValueError(
                     '"fullshape smoothing" must be "gauss" or "exp"')
 
         if self.velocity_dispersion is not None:
             if 'lorentz_gauss' in self.velocity_dispersion:
-                pk_full = pk_full * self.compute_velocity_dispersion_lorentz(params)
-                pk_full = pk_full * self.compute_velocity_dispersion_gauss(params)
+                factor = factor * self.compute_velocity_dispersion_lorentz(params)
+                factor = factor * self.compute_velocity_dispersion_gauss(params)
             elif 'gauss' in self.velocity_dispersion:
-                pk_full = pk_full * self.compute_velocity_dispersion_gauss(params)
+                factor = factor * self.compute_velocity_dispersion_gauss(params)
             elif 'lorentz' in self.velocity_dispersion:
-                pk_full = pk_full * self.compute_velocity_dispersion_lorentz(params)
+                factor = factor * self.compute_velocity_dispersion_lorentz(params)
             else:
                 raise ValueError(
                     '"velocity dispersion" must be "gauss" or "lorentz"')
 
         if self.pk_damping_scale is not None:
-            pk_full = pk_full * jnp.exp(
+            factor = factor * jnp.exp(
                 -self.pk_damping_scale ** 2
                 * self.k_grid ** self.pk_damping_power / 2)
 
-        return pk_full, bad
+        return factor, bad
 
     # ------------------------------------------------------------------
     # Factors
