@@ -97,7 +97,6 @@ cosmo fit func = ap_at
 filename = {template_file}
 
 [control]
-sampler = Polychord
 {extra_control}
 
 [output]
