@@ -11,11 +11,12 @@ def test_run_vega_sampler_nested(tmp_path):
     (replaces bin/run_vega_mpi.py)."""
     out_dir = tmp_path / 'output_sampler'
     out_dir.mkdir()
-    control = 'run_sampler = True\nsampler = NestedJax'
     main_path = make_synthetic_dataset(
-        tmp_path, cross=False, size='tiny', noise=1.0,
-        extra_control=control)
-    text = main_path.read_text()
+        tmp_path, cross=False, size='tiny', noise=1.0)
+    # enable the sampler after dataset generation (the factory itself
+    # instantiates an interface, which requires the sampler section)
+    text = main_path.read_text().replace(
+        '[control]\n', '[control]\nrun_sampler = True\nsampler = NestedJax\n')
     text += (f'\n[NestedJax]\npath = {out_dir}\nname = synth\n'
              'num_live = 50\nnum_repeats = 5\nprecision = 0.1\n'
              'resume = False\nmax_iters = 150\n')
