@@ -22,6 +22,7 @@ Measured on the v5e (2026-08-16): f64 (parity grade, chi^2 agreement
 number is the accuracy-qualified f64 one.
 """
 
+import contextlib
 import json
 import os
 import sys
@@ -45,18 +46,20 @@ def main():
     from vega_tpu.vega_interface import VegaInterface
     from vega_tpu.parallel import BatchedLikelihood, make_device_mesh
 
-    # Prefer the reference DR16-subset config (the BASELINE headline)
-    ref_config = '/root/reference/tests/full_configs/main.ini'
-    if os.path.isdir('/root/reference/tests'):
-        os.chdir('/root/reference/tests')
-        vega = VegaInterface(ref_config)
-        sampled = {'bias_eta_LYA': -0.2008, 'beta_LYA': 1.67}
-    else:
-        import tempfile
-        from vega_tpu.testing import make_synthetic_dataset
-        workdir = tempfile.mkdtemp(prefix='vega_tpu_bench_')
-        vega = VegaInterface(make_synthetic_dataset(workdir, cross=True))
-        sampled = {'bias_LYA': -0.117, 'beta_LYA': 1.67}
+    # Prefer the reference DR16-subset config (the BASELINE headline).
+    # Init-time INFO prints go to stderr so stdout carries only the JSON.
+    with contextlib.redirect_stdout(sys.stderr):
+        ref_config = '/root/reference/tests/full_configs/main.ini'
+        if os.path.isdir('/root/reference/tests'):
+            os.chdir('/root/reference/tests')
+            vega = VegaInterface(ref_config)
+            sampled = {'bias_eta_LYA': -0.2008, 'beta_LYA': 1.67}
+        else:
+            import tempfile
+            from vega_tpu.testing import make_synthetic_dataset
+            workdir = tempfile.mkdtemp(prefix='vega_tpu_bench_')
+            vega = VegaInterface(make_synthetic_dataset(workdir, cross=True))
+            sampled = {'bias_LYA': -0.117, 'beta_LYA': 1.67}
 
     n_devices = len(jax.devices())
     mesh = make_device_mesh()

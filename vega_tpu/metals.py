@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+import jax
+
 from . import coordinates as coordinates_mod
 from . import correlation_func as corr_func
 from . import pktoxi, power_spectrum, utils
@@ -427,7 +429,7 @@ class Metals:
         if self.is_auto_correlation and corr_hash[0] != corr_hash[1]:
             xi = xi * 2
 
-        if self.save_components:
+        if self.save_components and not isinstance(pk, jax.core.Tracer):
             assert not fast_metals, 'You need to set fast_metal_bias=False.'
             assert component is not None, 'Provide a component name.'
             self.pk[component][corr_hash] = np.asarray(pk)
@@ -437,7 +439,7 @@ class Metals:
             return xi, bad
 
         dmat_xi = self.apply_metal_matrix(xi, corr_hash)
-        if self.save_components:
+        if self.save_components and not isinstance(dmat_xi, jax.core.Tracer):
             self.xi_distorted[component][corr_hash] = np.asarray(dmat_xi)
         return dmat_xi, bad
 

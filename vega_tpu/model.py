@@ -12,10 +12,18 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+import jax
+
 from . import broadband_poly, metals
 from . import correlation_func as corr_func
 from . import pktoxi, power_spectrum
 from .statics import is_identity, register as register_static, resolve
+
+
+def _concrete(x):
+    """True when x can be materialized (saving components only makes
+    sense on eager evaluations; under jit the values are tracers)."""
+    return not isinstance(x, jax.core.Tracer)
 
 
 class Model:
@@ -103,7 +111,7 @@ class Model:
             pk_model, pk_lin, self.PktoXi, pars)
         bad = bad | xi_bad
 
-        if self.save_components:
+        if self.save_components and _concrete(pk_model):
             self.pk[component]['core'] = np.asarray(pk_model)
             self.xi[component]['core'] = np.asarray(xi_model)
 
@@ -114,7 +122,7 @@ class Model:
                 xi_m, m_bad = self.metals.compute(pars, pk_lin, component)
                 xi_model = xi_model + xi_m
                 bad = bad | m_bad
-                if self.save_components:
+                if self.save_components and _concrete(xi_m):
                     self.pk[component].update(self.metals.pk[component])
                     self.xi[component].update(self.metals.xi[component])
                     self.xi_distorted[component].update(
@@ -136,7 +144,7 @@ class Model:
             xi_model = xi_model * self.broadband.compute(pars, 'post-mul')
             xi_model = xi_model + self.broadband.compute(pars, 'post-add')
 
-        if self.save_components:
+        if self.save_components and _concrete(xi_model):
             self.xi_distorted[component]['core'] = np.asarray(xi_model)
 
         return xi_model, bad
