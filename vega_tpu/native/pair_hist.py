@@ -23,7 +23,11 @@ _TRIED = False
 def _build_library():
     source = _SRC.read_bytes()
     tag = hashlib.sha1(source).hexdigest()[:12]
-    lib_path = _SRC.parent / f'_pair_hist_{tag}.so'
+    # cache outside the package tree (a raw .so inside the package
+    # confuses module discovery tools)
+    cache_dir = Path.home() / '.cache' / 'vega_tpu_native'
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    lib_path = cache_dir / f'pair_hist_{tag}.so'
     if not lib_path.exists():
         cmd = ['g++', '-O3', '-march=native', '-fopenmp', '-shared',
                '-fPIC', str(_SRC), '-o', str(lib_path)]
