@@ -751,6 +751,113 @@ class VegaInterface:
     # ------------------------------------------------------------------
     # Fisher sensitivity (reference: vega_interface.py:956-1071)
     # ------------------------------------------------------------------
+    def compute_sensitivity_exact(self, nominal=None, verbose=True):
+        """Model sensitivity via exact jax.jacfwd derivatives — same
+        output structure as compute_sensitivity but with no
+        finite-difference truncation error (the reference only has the
+        central-difference version).
+
+        partials[n][p] has shape (2, 2, n_bins): axes are
+        (distorted / undistorted, peak / smooth).
+        """
+        if nominal is None:
+            if self.bestfit is None or not self.bestfit.run_flag:
+                raise RuntimeError(
+                    'No nominal parameter values provided or saved')
+            nominal = {name: (self.bestfit.values[name],
+                              self.bestfit.errors[name])
+                       for name in self.bestfit.values}
+
+        base_params = copy.deepcopy(self.params)
+        for pname, (pvalue, _) in nominal.items():
+            base_params[pname] = pvalue
+        free = {p: float(base_params[p]) for p in nominal}
+        fixed = {k: v for k, v in base_params.items() if k not in nominal}
+        bao_amp = self.params['bao_amp']
+        self._ensure_static_refs()
+
+        def components(free_p, statics):
+            """Per-correlation (distorted/undistorted, peak/smooth)
+            component stacks as a traced pytree."""
+            with STATICS.bind(statics):
+                local = dict(fixed)
+                local.update(free_p)
+                out = {}
+                for name, model in self.models.items():
+                    pars = dict(local)
+                    pk_full = self.fiducial['pk_full']
+                    pk_smooth = self.fiducial['pk_smooth']
+                    pk_peak_lin = np.asarray(pk_full) - np.asarray(pk_smooth)
+
+                    pars['peak'] = True
+                    skip = model.Pk_core.skip_nl_model_in_peak
+                    f_peak, _ = model.Pk_core._shared_factor(pars,
+                                                             skip_nl=skip)
+                    pk_p = (jnp.asarray(pk_peak_lin) * f_peak
+                            * model.Pk_core.compute_peak_nl(pars))
+                    xi_peak, _ = model.Xi_core.compute(
+                        pk_p, pk_peak_lin, model.PktoXi, pars)
+
+                    pars['peak'] = False
+                    f_smooth = (model.Pk_core._shared_factor(pars)[0]
+                                if skip else f_peak)
+                    pk_s = jnp.asarray(pk_smooth) * f_smooth
+                    xi_smooth, _ = model.Xi_core.compute(
+                        pk_s, pk_smooth, model.PktoXi, pars)
+                    if model._corr_item.has_metals:
+                        xi_m, _ = model.metals.compute(pars, pk_full, 'full')
+                        xi_smooth = xi_smooth + xi_m
+
+                    if model._dist_mat is not None:
+                        dm = jnp.asarray(resolve(model._dist_mat))
+                        xi_peak_d = dm @ xi_peak
+                        xi_smooth_d = dm @ xi_smooth
+                    else:
+                        xi_peak_d, xi_smooth_d = xi_peak, xi_smooth
+                    out[name] = jnp.stack([
+                        jnp.stack([xi_peak_d, xi_smooth_d]),
+                        jnp.stack([xi_peak, xi_smooth]),
+                    ])  # (2 dist, 2 comp, n_bins)
+                return out
+
+        jac = jax.jit(jax.jacfwd(components))(free, STATICS.device_tree())
+
+        self.sensitivity = dict(nominal=copy.deepcopy(nominal),
+                                partials={}, fisher={})
+        for name in self.corr_items:
+            self.sensitivity['partials'][name] = {}
+            self.sensitivity['fisher'][name] = {}
+            for pname in nominal:
+                part = np.array(jac[name][pname])
+                # apply the bao_amp weighting the reference folds into the
+                # peak partials (vega_interface.py:1017-1030)
+                part[:, 0, :] *= bao_amp
+                self.sensitivity['partials'][name][pname] = part
+
+        self._fill_fisher(nominal, verbose)
+
+    def _fill_fisher(self, nominal, verbose=True):
+        if verbose:
+            print('Computing Fisher information for each pair of parameters.')
+        for pindex1, pname1 in enumerate(nominal):
+            for pindex2, pname2 in enumerate(nominal):
+                if pindex1 > pindex2:
+                    continue
+                for n in self.corr_items:
+                    rp = self.corr_items[n].model_coordinates.rp_grid
+                    fisher = np.zeros((2, len(rp)))
+                    mask = self.data[n].data_mask
+                    for idistort in range(2):
+                        partial1 = self.sensitivity['partials'][n][pname1][
+                            idistort].sum(axis=0)
+                        partial2 = self.sensitivity['partials'][n][pname2][
+                            idistort].sum(axis=0)
+                        masked_info = (partial1[mask] * self.data[
+                            n].inv_masked_cov.dot(partial2[mask]))
+                        fisher[idistort, mask] = masked_info
+                        fisher[idistort, ~mask] = np.nan
+                    self.sensitivity['fisher'][n][(pname1, pname2)] = fisher
+
     def compute_sensitivity(self, nominal=None, frac=0.1, verbose=True):
         """Model sensitivity and Fisher information per (rt, rp) bin.
 
