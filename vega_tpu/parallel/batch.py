@@ -48,11 +48,22 @@ class BatchedLikelihood:
     axis is sharded over the mesh; the model constants are replicated.
     """
 
-    def __init__(self, vega, mesh=None, axis_name='batch'):
+    def __init__(self, vega, mesh=None, axis_name='batch',
+                 chunk_per_device=None):
+        """chunk_per_device bounds how many batch items are in flight per
+        device at once: inside the jit, chunks run sequentially via
+        lax.map while each chunk vmaps+shards across the mesh. This caps
+        the HBM footprint of the per-item (mu_k, k) grids (a 16 GB v5e
+        fits ~192 items in f64), so arbitrarily large batches work."""
         self.vega = vega
         self.mesh = mesh if mesh is not None else make_device_mesh(
             axis_name=axis_name)
         self.axis_name = axis_name
+        import os
+        if chunk_per_device is None:
+            chunk_per_device = int(os.environ.get(
+                'VEGA_TPU_CHUNK_PER_DEVICE', 128))
+        self.chunk_per_device = chunk_per_device
         self._jit_cache = {}
 
     @property
@@ -72,26 +83,37 @@ class BatchedLikelihood:
             return self.vega._chi2_graph_bound(
                 params, data_vecs, cov_scales, statics)[0]
 
-        batch_sharding = NamedSharding(self.mesh, P(self.axis_name))
+        def chunked(param_chunks, statics):
+            # param_chunks: dict of (n_chunks, chunk_total) arrays
+            def one_chunk(chunk_params):
+                return jax.vmap(single, in_axes=(0, None))(
+                    chunk_params, statics)
+            out = jax.lax.map(one_chunk, param_chunks)
+            return out.reshape(-1)
+
+        chunk_sharding = NamedSharding(self.mesh, P(None, self.axis_name))
+        flat_sharding = NamedSharding(self.mesh, P(self.axis_name))
         replicated = NamedSharding(self.mesh, P())
         fn = jax.jit(
-            jax.vmap(single, in_axes=(0, None)),
-            in_shardings=(batch_sharding, replicated),
-            out_shardings=batch_sharding,
+            chunked,
+            in_shardings=(chunk_sharding, replicated),
+            out_shardings=flat_sharding,
         )
         self._jit_cache[key] = fn
         return fn
 
     def chi2(self, param_batches):
         """chi^2 for each row of the batch; pads the batch to a multiple
-        of the device count and strips the padding on return."""
+        of (devices x chunk) and strips the padding on return."""
         names = tuple(sorted(param_batches.keys()))
         batches = {k: np.asarray(v, dtype=np.float64)
                    for k, v in param_batches.items()}
         n = len(next(iter(batches.values())))
+        chunk_total = self.chunk_per_device * self.n_devices
         padded = {}
         for k, v in batches.items():
-            padded[k], _ = _pad_to_multiple(v, self.n_devices)
+            arr, _ = _pad_to_multiple(v, chunk_total)
+            padded[k] = arr.reshape(-1, chunk_total)
         fn = self._build(names)
         with self.mesh:
             out = fn(padded, STATICS.device_tree())
