@@ -58,3 +58,21 @@ def test_gaussian_chain(fitted_vega):
         atol=5 * np.max(sample_std) / np.sqrt(len(chain.samples)) + 1e-12)
     np.testing.assert_allclose(
         sample_std ** 2, np.diag(results.cov), rtol=0.1)
+
+
+def test_scan_hdu(fitted_vega, tmp_path):
+    vega = fitted_vega
+    vega.main_config.add_section('chi2 scan')
+    vega.main_config['chi2 scan']['bias_LYA'] = '-0.125 -0.11 3'
+    scan_results = vega.analysis.chi2_scan()
+    vega.output.outfile = str(tmp_path / 'with_scan.fits')
+    vega.output.write_results(vega.bestfit_model, vega.params,
+                              vega.minimizer, vega.bestfit_corr_stats,
+                              scan_results=scan_results)
+    from vega_tpu.io.fits import read_fits
+    hdus = {h.name: h for h in read_fits(vega.output.outfile)
+            if getattr(h, 'name', '')}
+    assert 'SCAN' in hdus
+    fvals = np.asarray(hdus['SCAN']['fval'])
+    assert fvals.shape == (3,)
+    assert np.isfinite(fvals).all()
