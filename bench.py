@@ -17,7 +17,7 @@ core (BASELINE.md quotes no number; this is a measured-order estimate of
 the cached path, generous to the reference). vs_baseline = value / 10.
 
 Measured on the v5e (2026-08-16): f64 (parity grade, chi^2 agreement
-~1e-9 relative) 269 evals/s/chip at batch 128; f32 throughput mode
+~1e-9 relative) 282 evals/s/chip at batch 512 (chunked); f32 mode
 (VEGA_TPU_BENCH_PRECISION=f32) 2094 evals/s/chip. The default reported
 number is the accuracy-qualified f64 one. HBM limits the vmapped batch
 (each element carries its own (mu_k, k) factor grids): <= ~192 in f64,
@@ -67,7 +67,7 @@ def main():
     mesh = make_device_mesh()
     bl = BatchedLikelihood(vega, mesh=mesh)
 
-    batch_size = int(os.environ.get('VEGA_TPU_BENCH_BATCH', 128)) * n_devices
+    batch_size = int(os.environ.get('VEGA_TPU_BENCH_BATCH', 512)) * n_devices
     rng = np.random.default_rng(0)
     batches = {
         name: val + 0.01 * np.abs(val) * rng.normal(size=batch_size)
