@@ -1,0 +1,21 @@
+# Developer entry points
+
+PYTHON ?= python
+
+.PHONY: test test-fast bench lint tutorial
+
+test:
+	$(PYTHON) -m pytest tests/ -x -q
+
+test-fast:
+	$(PYTHON) -m pytest tests/ -x -q \
+	  --ignore=tests/test_vega_e2e.py --ignore=tests/test_picca_parity.py
+
+bench:
+	$(PYTHON) bench.py
+
+tutorial:
+	$(PYTHON) examples/synthetic_tutorial.py
+
+lint:
+	$(PYTHON) -m compileall -q vega_tpu tests bench.py __graft_entry__.py
