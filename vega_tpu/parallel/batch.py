@@ -109,7 +109,11 @@ class BatchedLikelihood:
         batches = {k: np.asarray(v, dtype=np.float64)
                    for k, v in param_batches.items()}
         n = len(next(iter(batches.values())))
-        chunk_total = self.chunk_per_device * self.n_devices
+        # never pad beyond the actual batch: the chunk width shrinks for
+        # small batches (a new width retraces, matching its use pattern)
+        per_dev = min(self.chunk_per_device,
+                      -(-n // self.n_devices))
+        chunk_total = per_dev * self.n_devices
         padded = {}
         for k, v in batches.items():
             arr, _ = _pad_to_multiple(v, chunk_total)
