@@ -30,6 +30,11 @@ class SMCSampler(Sampler):
         self.ess_target = sampler_config.getfloat('ess_target', 0.8)
         self.seed = sampler_config.getint('seed', 0)
         self.max_stages = sampler_config.getint('max_stages', 200)
+        # state dumps every N stages (the PocoMC save_every equivalent)
+        self.save_every = sampler_config.getint('save_every', 3)
+        self.resume = sampler_config.getboolean('resume', True)
+        from pathlib import Path
+        self.checkpoint_path = Path(self.path) / (self.name + '.smc.npz')
 
     def _batch_log_lik(self, theta):
         params = {name: theta[:, i] for i, name in enumerate(self.names)}
@@ -59,12 +64,21 @@ class SMCSampler(Sampler):
         ndim = self.num_params
         n = self.n_particles
 
-        u = rng.uniform(size=(n, ndim))
-        logl = self._batch_log_lik(self.prior_transform(u))
+        if self.resume and self.checkpoint_path.exists():
+            print(f'Resuming SMC from {self.checkpoint_path}')
+            state = dict(np.load(self.checkpoint_path))
+            u = state['u']
+            logl = state['logl']
+            beta = float(state['beta'])
+            log_z = float(state['log_z'])
+            stage = int(state['stage'])
+        else:
+            u = rng.uniform(size=(n, ndim))
+            logl = self._batch_log_lik(self.prior_transform(u))
+            beta = 0.0
+            log_z = 0.0
+            stage = 0
 
-        beta = 0.0
-        log_z = 0.0
-        stage = 0
         while beta < 1.0 and stage < self.max_stages:
             beta_new = self._next_beta(logl, beta)
             dlog_w = (beta_new - beta) * logl
@@ -99,6 +113,9 @@ class SMCSampler(Sampler):
             stage += 1
             print(f'SMC stage {stage}: beta = {beta:.4f}, '
                   f'logZ = {log_z:.4f}, acc = {acc_rate:.2f}')
+            if stage % self.save_every == 0 or beta >= 1.0:
+                np.savez(self.checkpoint_path, u=u, logl=logl, beta=beta,
+                         log_z=log_z, stage=stage)
 
         samples = self.prior_transform(u)
         weights = np.full(n, 1.0 / n)
