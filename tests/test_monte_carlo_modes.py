@@ -85,3 +85,28 @@ def test_low_mem_global_cov(tmp_path):
     assert vega.global_cov is None  # deleted after masking
     chi2 = vega.chi2()
     assert np.isfinite(chi2)
+
+
+def test_mc_start_from_fit(tmp_path):
+    """mc_start_from_fit: seed the MC template from a saved fit
+    (reference: vega_interface.py:465-472)."""
+    main_path = _with_mc_sections(make_synthetic_dataset(
+        tmp_path, cross=False, size='tiny', noise=1.0,
+        extra_control='run_montecarlo = True'))
+    vega = VegaInterface(main_path)
+    vega.minimize()
+    vega.output.write_results(vega.bestfit_model, vega.params,
+                              vega.minimizer, vega.bestfit_corr_stats)
+    fit_file = vega.output.outfile + '.fits'
+
+    vega2 = VegaInterface(main_path)
+    vega2.main_config['control']['mc_start_from_fit'] = fit_file
+    fiducial = vega2.get_fiducial_for_monte_carlo()
+    name = next(iter(vega2.corr_items))
+    assert np.isfinite(fiducial[name]).all()
+    # template params = saved fit overridden by [mc parameters]
+    # (reference: vega_interface.py:469-472)
+    expected_params = dict(vega.minimizer.values)
+    expected_params.update(vega2.mc_config['params'])
+    expected = vega2.compute_model(expected_params, run_init=False)
+    np.testing.assert_allclose(fiducial[name], expected[name], rtol=1e-10)
