@@ -39,6 +39,9 @@ def run_vega(config_path):
         vega.bestfit_corr_stats, scan_results, vega.models)
 
     num_pars = len(vega.sample_params['limits'])
+    out_base = vega.output.outfile
+    if out_base.endswith('.fits'):
+        out_base = out_base[:-5]
     for name in vega.plots.data:
         legend = (f'Correlation: {name}, Total '
                   r'$\chi^2_\mathrm{best}/(N_\mathrm{data}-N_\mathrm{pars})$'
@@ -52,7 +55,7 @@ def run_vega(config_path):
             mu_bin_labels=True, model_colors=['r'])
         vega.plots.fig.suptitle(legend, fontsize=14, y=1.03)
         vega.plots.fig.savefig(
-            f'{vega.output.outfile[:-5]}_{name}_wedges.png', dpi='figure',
+            f'{out_base}_{name}_wedges.png', dpi='figure',
             bbox_inches='tight', facecolor='white')
         plt.close(vega.plots.fig)
 
@@ -60,7 +63,7 @@ def run_vega(config_path):
                                 corr_name=name)
         vega.plots.fig.suptitle(legend, fontsize=14, y=0.95)
         vega.plots.fig.savefig(
-            f'{vega.output.outfile[:-5]}_{name}_shells.png', dpi='figure',
+            f'{out_base}_{name}_shells.png', dpi='figure',
             bbox_inches='tight', facecolor='white')
         plt.close(vega.plots.fig)
 
