@@ -27,6 +27,16 @@ from .sampler_interface import Sampler
 class NestedSampler(Sampler):
     """Batched nested sampler with uniform priors."""
 
+    def write_parnames(self, parnames_path):
+        """The native sampler's chains carry only the sampled parameters
+        (PolyChord appends marginalization coefficients as derived
+        columns; here they are obtained in post-processing via
+        VegaInterface.compute_marg_coeff), so the .paramnames file must
+        match the chain columns."""
+        self.derived_dict = None
+        self.num_derived = 0
+        super().write_parnames(parnames_path)
+
     def get_sampler_settings(self, sampler_config, num_params, num_derived):
         self.num_live = sampler_config.getint('num_live', 25 * num_params)
         self.num_repeats = sampler_config.getint('num_repeats',
