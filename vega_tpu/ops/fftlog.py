@@ -163,13 +163,14 @@ class FFTLogXi2P:
         return self._postfac * hk
 
 
-def extrapolated_transform(fftlog_cls, x, f, ell=0, pad_factor=2):
+def extrapolated_transform(fftlog_cls, x, f, ell=0, pad_factor=2,
+                           keep='center'):
     """Run a transform with power-law padding of the input on both ends
     (the role of mcfit's extrap=True; used for smooth template work, not
     the likelihood hot path).
 
-    Returns (y_grid, transformed) restricted to the reciprocal of the
-    original x range.
+    Returns (y_grid, transformed): the reciprocal of the original x range
+    (keep='center') or the full padded output (keep='all').
     """
     x = np.asarray(x, dtype=np.float64)
     f = np.asarray(f, dtype=np.float64)
@@ -197,5 +198,7 @@ def extrapolated_transform(fftlog_cls, x, f, ell=0, pad_factor=2):
     out = tr.transform(f_full)
     y = tr.k_grid if hasattr(tr, 'k_grid') and fftlog_cls is FFTLogXi2P \
         else tr.r_grid
-    keep = slice(n_pad, n_pad + n)
-    return y[keep], out[keep]
+    if keep == 'all':
+        return y, out
+    sl = slice(n_pad, n_pad + n)
+    return y[sl], out[sl]

@@ -37,8 +37,11 @@ def sideband_decompose(k, pk, h=0.674, rdrag=147.3, extrap=True):
     sb1_rmin, sb1_rmax = 50. * coef, 82. * coef
     sb2_rmin, sb2_rmax = 150. * coef, 190. * coef
 
-    fwd = FFTLogP2Xi(k, 0)
-    xi_spline = InterpolatedUnivariateSpline(fwd.r_grid, fwd.transform(pk))
+    # Forward transform with padding so the xi spline covers the full
+    # working r range [1e-7, 10^3.5] without extrapolating
+    r_fwd, xi_fwd = extrapolated_transform(FFTLogP2Xi, k, pk,
+                                           pad_factor=4, keep='all')
+    xi_spline = InterpolatedUnivariateSpline(r_fwd, xi_fwd)
     r = np.logspace(-7., 3.5, 10000)
     xi = xi_spline(r)
 
