@@ -341,24 +341,31 @@ class VegaInterface:
                 self._chi2_graph_bound(p, dv, cs, st)[0]))
         grads = self._jit_chi2_grad(
             {k: float(v) for k, v in params.items()},
-            self._current_data_vecs(), self._current_cov_scales(),
+            self._current_data_vecs_device(), self._current_cov_scales(),
             STATICS.device_tree())
         return {k: float(v) for k, v in grads.items()}
 
     def chi2_hessian(self, params, free_names):
-        """Exact chi^2 Hessian over free_names via jax.hessian."""
+        """Exact chi^2 Hessian over free_names via jax.hessian. The jit
+        is cached per free-parameter set (re-jitting per call would cost
+        a fresh compile on every minimize)."""
         self._ensure_static_refs()
         fixed = {k: float(v) for k, v in params.items()
                  if k not in free_names}
         free = {k: float(params[k]) for k in free_names}
-        data_vecs = self._current_data_vecs()
-        cov_scales = self._current_cov_scales()
 
-        def fn(free_p, statics):
-            return self._chi2_graph_bound({**fixed, **free_p}, data_vecs,
-                                          cov_scales, statics)[0]
+        if not hasattr(self, '_hess_cache'):
+            self._hess_cache = {}
+        key = tuple(sorted(free_names))
+        if key not in self._hess_cache:
+            def fn(free_p, fixed_p, dv, cs, statics):
+                return self._chi2_graph_bound({**fixed_p, **free_p}, dv,
+                                              cs, statics)[0]
+            self._hess_cache[key] = jax.jit(jax.hessian(fn))
 
-        hess = jax.jit(jax.hessian(fn))(free, STATICS.device_tree())
+        hess = self._hess_cache[key](
+            free, fixed, self._current_data_vecs_device(),
+            self._current_cov_scales(), STATICS.device_tree())
         return {n1: {n2: float(hess[n1][n2]) for n2 in free_names}
                 for n1 in free_names}
 
