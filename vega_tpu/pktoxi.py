@@ -45,6 +45,16 @@ _OPERATOR_CACHE = {}
 _LEGACY_OPERATOR_CACHE = {}
 
 
+def _use_pallas_spline():
+    """Opt-in fused Pallas kernel for the spline+Legendre stage. f32
+    throughput mode only (TPU Pallas has no f64), and never on CPU."""
+    import os
+    import jax
+    return (os.environ.get('VEGA_TPU_PALLAS', '0') == '1'
+            and not jax.config.jax_enable_x64
+            and jax.default_backend() != 'cpu')
+
+
 def legendre(ell, x):
     """Evaluate P_ell(x) by Horner's rule on the monomial coefficients,
     matching scipy.special.legendre(ell)(x)."""
@@ -148,11 +158,20 @@ class PktoXi:
             xi = jnp.where(mask, vals, 0.0)
             return xi, jnp.any(oob & mask)
 
+        legendre_mu = jnp.stack([legendre(ell, mu_grid)
+                                 for ell in self.ell_vals])
+        if _use_pallas_spline():
+            from .ops.pallas_spline import spline_legendre_combine
+            xi = spline_legendre_combine(self.logr_knots, xi_knots,
+                                         m_knots, log_r, legendre_mu)
+            oob_any = jnp.any(((log_r < self.logr_knots[0])
+                               | (log_r > self.logr_knots[-1])) & mask)
+            xi = jnp.where(mask, xi, 0.0)
+            return xi, oob_any
+
         vals, oob = spline_eval(self.logr_knots, xi_knots[:, None, :],
                                 m_knots[:, None, :], log_r[None, :])
         vals = vals[:, 0, :]                                    # (n_ell, n_r)
-        legendre_mu = jnp.stack([legendre(ell, mu_grid)
-                                 for ell in self.ell_vals])
         xi = jnp.sum(vals * legendre_mu, axis=0)
         xi = jnp.where(mask, xi, 0.0)
         return xi, jnp.any(oob[0] & mask)
