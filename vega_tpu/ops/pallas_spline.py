@@ -101,16 +101,16 @@ def spline_legendre_combine(logr_knots, xi_knots, m_knots, log_r,
             pl.BlockSpec((1, 4), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((y.shape[0], y.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.ANY),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((m.shape[0], m.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.ANY),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE), lambda i: (0, i),
-                         memory_space=pltpu.ANY),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((leg.shape[0], TILE), lambda i: (0, i),
-                         memory_space=pltpu.ANY),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TILE), lambda i: (0, i),
-                               memory_space=pltpu.ANY),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_q + pad), jnp.float32),
         interpret=interpret,
     )(scalars, y, m, xq_p, leg_p)
