@@ -44,3 +44,34 @@ def test_query_count_not_tile_multiple():
     out = spline_legendre_combine(knots, y, m, xq, leg, interpret=True)
     assert out.shape == (777,)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_batched_kernel_matches_single():
+    rng = np.random.default_rng(3)
+    from vega_tpu.ops.pallas_spline import (
+        make_vmappable_combine, spline_legendre_combine_batched)
+    import jax
+
+    knots = np.linspace(-2.0, 6.0, 128)
+    s_mat = notaknot_second_derivative_matrix(knots)
+    n_b, n_ell, n_q = 3, 4, 900
+    ys = rng.normal(size=(n_b, n_ell, 128))
+    ms = np.einsum('ij,blj->bli', s_mat, ys)
+    xqs = rng.uniform(-2, 6, (n_b, n_q))
+    legs = rng.normal(size=(n_b, n_ell, n_q))
+
+    batched = spline_legendre_combine_batched(knots, ys, ms, xqs, legs,
+                                              interpret=True)
+    for b in range(n_b):
+        single = spline_legendre_combine(knots, ys[b], ms[b], xqs[b],
+                                         legs[b], interpret=True)
+        np.testing.assert_allclose(np.asarray(batched[b]),
+                                   np.asarray(single), rtol=1e-5,
+                                   atol=1e-5)
+
+    # the custom_vmap rule routes vmap onto the batched kernel
+    combine = make_vmappable_combine(knots, interpret=True)
+    vmapped = jax.vmap(combine)(jnp.asarray(ys), jnp.asarray(ms),
+                                jnp.asarray(xqs), jnp.asarray(legs))
+    np.testing.assert_allclose(np.asarray(vmapped), np.asarray(batched),
+                               rtol=1e-6, atol=1e-6)

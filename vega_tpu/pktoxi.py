@@ -122,6 +122,7 @@ class PktoXi:
         # additive terms (reference: pktoxi.py:321-382 use the legacy path)
         self._rel_ops = None
         self._asy_ops = None
+        self._pallas_combine = None
 
     @classmethod
     def init_from_Pk(cls, pk, config):
@@ -161,9 +162,11 @@ class PktoXi:
         legendre_mu = jnp.stack([legendre(ell, mu_grid)
                                  for ell in self.ell_vals])
         if _use_pallas_spline():
-            from .ops.pallas_spline import spline_legendre_combine
-            xi = spline_legendre_combine(self.logr_knots, xi_knots,
-                                         m_knots, log_r, legendre_mu)
+            if self._pallas_combine is None:
+                from .ops.pallas_spline import make_vmappable_combine
+                self._pallas_combine = make_vmappable_combine(
+                    self.logr_knots)
+            xi = self._pallas_combine(xi_knots, m_knots, log_r, legendre_mu)
             oob_any = jnp.any(((log_r < self.logr_knots[0])
                                | (log_r > self.logr_knots[-1])) & mask)
             xi = jnp.where(mask, xi, 0.0)
