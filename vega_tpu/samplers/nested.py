@@ -6,10 +6,13 @@ single-controller nested-sampling loop whose likelihood work is one
 vmapped, device-sharded batch per iteration:
 
 - K worst live points are replaced per iteration (batched kill).
-- Replacements evolve by constrained Gaussian random-walk MCMC started
-  from random survivors; all K chains step together, so each MCMC step
-  is ONE batched likelihood call (the TPU replaces PolyChord's MPI
-  fan-out of live-point evaluations).
+- Replacements evolve by constrained slice sampling (PolyChord's
+  proposal mechanism: whitened random directions + interval shrinkage;
+  Neal 2003 "shrinkage procedure") started from random survivors; all K
+  chains step together, so each slice step is ONE batched likelihood
+  call (the TPU replaces PolyChord's MPI fan-out of live-point
+  evaluations). `proposal = rwm` falls back to adaptive random-walk
+  Metropolis.
 - Evidence from the standard shrinkage estimate ln X_i ~ -i / n_live.
 - Checkpoint/resume via npz state dumps (the reference relies on
   PolyChord's write_resume/read_resume files).
@@ -46,6 +49,8 @@ class NestedSampler(Sampler):
             'batch_size', max(1, self.num_live // 4))
         self.max_iters = sampler_config.getint('max_iters', 100000)
         self.seed = sampler_config.getint('seed', 0)
+        self.proposal = sampler_config.get('proposal', 'slice').lower()
+        self.max_shrink = sampler_config.getint('max_shrink', 12)
         self.resume = sampler_config.getboolean('resume', True)
         self.checkpoint_every = sampler_config.getint('checkpoint_every', 50)
         self.checkpoint_path = Path(self.path) / (self.name + '.resume.npz')
@@ -54,6 +59,7 @@ class NestedSampler(Sampler):
     def _batch_log_lik(self, theta):
         """theta: (n, ndim) physical parameters -> (n,) log L."""
         params = {name: theta[:, i] for i, name in enumerate(self.names)}
+        self._n_evals = getattr(self, '_n_evals', 0) + theta.shape[0]
         return np.asarray(self.log_lik(params))
 
     def _mcmc_evolve(self, start, l_min, scale, rng):
@@ -84,6 +90,58 @@ class NestedSampler(Sampler):
         accept_rate = n_accept.mean() / self.num_repeats
         return theta, logl, accept_rate
 
+    def _slice_evolve(self, start, l_min, width, rng):
+        """Evolve a batch of points with constrained slice sampling.
+
+        Each of the num_repeats repeats draws one random direction per
+        chain from the live-point covariance (whitened slice directions,
+        as in PolyChord) and performs interval shrinkage on the hard
+        constraint L > l_min. All chains shrink together, so every
+        shrink step is ONE batched likelihood call. Shrinkage from a
+        randomly positioned fixed-width interval is a valid slice
+        update (Neal 2003, Fig. 5 procedure without stepping-out).
+
+        Returns (theta, logl, mean shrink steps per accepted move).
+        """
+        n, ndim = start.shape
+        theta = start.copy()
+        logl = self._batch_log_lik(self.prior_transform(theta))
+
+        cov = np.cov(self.live_u, rowvar=False)
+        cov += 1e-12 * np.eye(ndim)
+        chol = np.linalg.cholesky(cov)
+
+        total_steps = 0.0
+        total_moves = 0.0
+        for _ in range(self.num_repeats):
+            d = rng.normal(size=(n, ndim)) @ chol.T
+            u0 = rng.uniform(size=n)
+            left = -width * u0
+            right = left + width
+            done = np.zeros(n, dtype=bool)
+            for _step in range(self.max_shrink):
+                t = rng.uniform(left, right)
+                t = np.where(done, 0.0, t)
+                prop = theta + t[:, None] * d
+                inside = np.all((prop > 0) & (prop < 1), axis=1)
+                prop_c = np.clip(prop, 1e-12, 1 - 1e-12)
+                logl_prop = self._batch_log_lik(self.prior_transform(prop_c))
+                ok = inside & (logl_prop > l_min) & ~done
+                theta = np.where(ok[:, None], prop, theta)
+                logl = np.where(ok, logl_prop, logl)
+                total_steps += float(np.sum(~done))
+                done |= ok
+                # shrink the bracket towards the current point for
+                # chains that rejected
+                rej = ~done
+                left = np.where(rej & (t < 0), t, left)
+                right = np.where(rej & (t >= 0), t, right)
+                if done.all():
+                    break
+            total_moves += float(done.sum())
+        mean_steps = total_steps / max(total_moves, 1.0)
+        return theta, logl, mean_steps
+
     # ------------------------------------------------------------------
     def run(self):
         """Run the nested-sampling loop; returns a results dict and writes
@@ -104,7 +162,7 @@ class NestedSampler(Sampler):
             log_x = 0.0
             log_z = -np.inf
             it = 0
-            scale = 0.5
+            scale = 2.0 if self.proposal == 'slice' else 0.5
         else:
             self.live_u = state['live_u']
             live_logl = state['live_logl']
@@ -141,16 +199,25 @@ class NestedSampler(Sampler):
             # Replace killed points from random survivors
             survivors = order[k:]
             seeds = survivors[rng.integers(0, len(survivors), size=k)]
-            new_u, new_logl, accept_rate = self._mcmc_evolve(
-                self.live_u[seeds], l_min, scale, rng)
+            if self.proposal == 'slice':
+                new_u, new_logl, diag = self._slice_evolve(
+                    self.live_u[seeds], l_min, scale, rng)
+                # Adapt the bracket width towards ~2-3 shrink steps
+                # per slice move
+                if diag > 4.0:
+                    scale = max(scale * 0.85, 0.2)
+                elif diag < 1.5:
+                    scale = min(scale * 1.3, 10.0)
+            else:
+                new_u, new_logl, diag = self._mcmc_evolve(
+                    self.live_u[seeds], l_min, scale, rng)
+                # Adapt the proposal scale towards ~40% acceptance
+                if diag > 0.5:
+                    scale = min(scale * 1.2, 2.0)
+                elif diag < 0.2:
+                    scale = max(scale * 0.7, 1e-4)
             self.live_u[worst] = new_u
             live_logl[worst] = new_logl
-
-            # Adapt the proposal scale towards ~40% acceptance
-            if accept_rate > 0.5:
-                scale = min(scale * 1.2, 2.0)
-            elif accept_rate < 0.2:
-                scale = max(scale * 0.7, 1e-4)
 
             it += 1
             # Termination: the evidence still locked in the live points
@@ -160,9 +227,11 @@ class NestedSampler(Sampler):
             done = (np.isfinite(log_z)
                     and log_z_live - log_z < np.log(self.precision))
             if it % 10 == 0 or done:
+                diag_name = ('steps' if self.proposal == 'slice'
+                             else 'acc')
                 print(f'NS iter {it}: logZ = {log_z:.4f}, '
                       f'logZ_live = {log_z_live:.4f}, '
-                      f'acc = {accept_rate:.2f}, scale = {scale:.3f}')
+                      f'{diag_name} = {diag:.2f}, scale = {scale:.3f}')
             if it % self.checkpoint_every == 0 or done:
                 np.savez(self.checkpoint_path, live_u=self.live_u,
                          live_logl=live_logl, dead_u=dead_u,
@@ -196,7 +265,7 @@ class NestedSampler(Sampler):
             f.write(f'logZ = {log_z} +/- {log_z_err}\n')
             f.write(f'num_iterations = {it}\n')
             f.write(f'num_like_evals = '
-                    f'{(it * k * (self.num_repeats + 1)) + self.num_live}\n')
+                    f'{getattr(self, "_n_evals", 0)}\n')
         print(f'log(Z) = {log_z} +/- {log_z_err}')
 
         return {
