@@ -245,7 +245,7 @@ class PowerSpectrum:
 
         if 'Rogers' in self.hcd_model:
             # Fourier transform of a Lorentzian profile (Rogers et al. 2018)
-            f_hcd = jnp.exp(-params['L0_hcd'] * self._kp())
+            f_hcd = utils.grid_exp(-params['L0_hcd'] * self._kp())
         elif 'fvoigt' in self.hcd_model:
             assert self._Fvoigt_data is not None
             L0 = params.get('L0_fvoigt', 1.)
@@ -279,7 +279,7 @@ class PowerSpectrum:
                              'Add sigmaNL_par and/or sigmaNL_per.')
         peak_nl = (self._kp() ** 2 * sigma_par ** 2
                    + self._kt() ** 2 * sigma_trans ** 2)
-        return jnp.exp(-peak_nl / 2)
+        return utils.grid_exp(-peak_nl / 2)
 
     def compute_dnl_mcdonald(self):
         """McDonald 2003 non-linear term (reference:
@@ -307,7 +307,7 @@ class PowerSpectrum:
         growth = q1 * delta_sq + q2 * delta_sq ** 2
         pec_velocity = (self.k_grid / kv) ** av * jnp.abs(self.muk_grid) ** bv
         pressure = (self.k_grid / kp) * (self.k_grid / kp)
-        dnl = jnp.exp(growth * (1 - pec_velocity) - pressure)
+        dnl = utils.grid_exp(growth * (1 - pec_velocity) - pressure)
 
         bad = ~jnp.all(jnp.isfinite(dnl))
         if two_lya:
@@ -356,8 +356,8 @@ class PowerSpectrum:
         power_spectrum.py:504-553), incl. the squared variant and the
         per-tracer / metal fallbacks."""
         def gauss(sig_par, sig_trans):
-            return jnp.exp(-(self._kp() ** 2 * sig_par ** 2
-                             + self._kt() ** 2 * sig_trans ** 2) / 2)
+            return utils.grid_exp(-(self._kp() ** 2 * sig_par ** 2
+                                    + self._kt() ** 2 * sig_trans ** 2) / 2)
 
         check1 = self.tracer1_name in ['LYA', 'QSO']
         check2 = self.tracer2_name in ['LYA', 'QSO']
@@ -393,7 +393,7 @@ class PowerSpectrum:
                     + self._kt() ** 2 * params['per_sigma_smooth'] ** 2)
         exp_sm = (jnp.abs(self._kp()) * params['par_exp_smooth'] ** 2
                   + jnp.abs(self._kt()) * params['per_exp_smooth'] ** 2)
-        return jnp.exp(-gauss_sm / 2) * jnp.exp(-exp_sm)
+        return utils.grid_exp(-gauss_sm / 2) * utils.grid_exp(-exp_sm)
 
     def compute_velocity_dispersion_gauss(self, params):
         """Gaussian velocity dispersion (reference:
@@ -402,10 +402,12 @@ class PowerSpectrum:
         smoothing = 1.
         if self.tracer1_type == 'discrete':
             sigma = params['sigma_velo_disp_gauss_' + self.tracer1_name]
-            smoothing = smoothing * jnp.exp(-0.25 * (self._kp() * sigma) ** 2)
+            smoothing = smoothing * utils.grid_exp(
+                -0.25 * (self._kp() * sigma) ** 2)
         if self.tracer2_type == 'discrete':
             sigma = params['sigma_velo_disp_gauss_' + self.tracer2_name]
-            smoothing = smoothing * jnp.exp(-0.25 * (self._kp() * sigma) ** 2)
+            smoothing = smoothing * utils.grid_exp(
+                -0.25 * (self._kp() * sigma) ** 2)
         return smoothing * jnp.ones(self._kp().shape)
 
     def compute_velocity_dispersion_lorentz(self, params):
