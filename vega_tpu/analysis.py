@@ -22,8 +22,9 @@ class Analysis:
 
     def __init__(self, chi2_func, sampler_params, main_config, corr_items,
                  data, mc_config=None, global_cov=None, grad_func=None,
-                 hess_func=None):
+                 hess_func=None, vega=None):
         self.config = main_config
+        self._vega = vega
         self._chi2_func = chi2_func
         self._grad_func = grad_func
         self._hess_func = hess_func
@@ -58,6 +59,18 @@ class Analysis:
         for param in self.grids:
             sample_params['fix'][param] = True
             sample_params['errors'][param] = 0.
+
+        batched = False
+        if self._vega is not None and 'control' in self.config:
+            batched = self.config['control'].getboolean(
+                'batched_scan', False)
+        if batched:
+            # all grid points minimized simultaneously on device
+            from .parallel.batch import batched_chi2_scan
+            self.scan_results = batched_chi2_scan(
+                self._vega, self.grids,
+                sample_params=self._vega.sample_params)
+            return self.scan_results
 
         self.scan_results = []
         par1 = list(self.grids.keys())[0]

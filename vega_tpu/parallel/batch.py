@@ -131,6 +131,124 @@ class BatchedLikelihood:
         return log_lik
 
 
+def _newton_minimize_batched(chi2_of, x0, lo, hi, batch_inputs, mesh,
+                             axis_name, max_iterations):
+    """Shared batched damped-Newton minimizer.
+
+    chi2_of(x, batch_elem, statics) -> scalar; batch_inputs is a pytree
+    whose leaves carry the (padded) batch axis — mock data vectors for
+    the Monte-Carlo engine, fixed scan-parameter values for the chi^2
+    scan. Every iteration evaluates the exact jax gradient + Hessian
+    for the whole batch, sharded over the mesh.
+
+    Returns (x, errors, cov, chi2, valid) with the batch axis leading.
+    """
+    n_free = x0.shape[0]
+
+    grad_fn = jax.grad(chi2_of)
+    hess_fn = jax.hessian(chi2_of)
+
+    def newton_step(x, batch_elem, statics):
+        g = grad_fn(x, batch_elem, statics)
+        h = hess_fn(x, batch_elem, statics)
+        # Levenberg damping for robustness far from the minimum
+        # (max(n_free, 1) keeps the all-params-scanned case finite)
+        damp = 1e-6 * jnp.trace(h) / max(n_free, 1)
+        step = jnp.linalg.solve(h + damp * jnp.eye(n_free), g)
+        x_new = jnp.clip(x - step, lo, hi)
+        return x_new, g, h
+
+    def fit_one(batch_elem, statics):
+        def body(carry, _):
+            x, _, _ = carry
+            x_new, g, h = newton_step(x, batch_elem, statics)
+            return (x_new, g, h), None
+
+        init = (x0, jnp.zeros(n_free), jnp.eye(n_free))
+        (x, g, h), _ = jax.lax.scan(body, init, None,
+                                    length=max_iterations)
+        chi2 = chi2_of(x, batch_elem, statics)
+        cov = 2.0 * jnp.linalg.inv(h)
+        errors = jnp.sqrt(jnp.clip(jnp.diag(cov), 0, None))
+        valid = jnp.all(jnp.abs(g) < 1e-3)
+        return x, errors, cov, chi2, valid
+
+    batch_sharding = NamedSharding(mesh, P(axis_name))
+    replicated = NamedSharding(mesh, P())
+    fit_batched = jax.jit(
+        jax.vmap(fit_one, in_axes=(0, None)),
+        in_shardings=(jax.tree.map(lambda _: batch_sharding, batch_inputs),
+                      replicated),
+    )
+    with mesh:
+        return fit_batched(batch_inputs, STATICS.device_tree())
+
+
+def batched_chi2_scan(vega, grids, sample_params=None, mesh=None,
+                      axis_name='batch', max_iterations=100):
+    """1D/2D profile chi^2 scan with ALL grid points minimized
+    simultaneously on device.
+
+    The reference re-runs MIGRAD serially at every grid point
+    (reference: analysis.py:53-124, O(minutes) each); here the grid is
+    the batch axis of one damped-Newton optimization with exact jax
+    derivatives, sharded over the mesh.
+
+    grids: dict of 1 or 2 entries, param -> 1D array of fixed values.
+    Returns a list of dicts in C order over the grid (outer loop =
+    first grid param, matching the serial Analysis.chi2_scan), each
+    {free name: bestfit, scan name: fixed value, 'fval': chi^2}.
+    """
+    if mesh is None:
+        mesh = make_device_mesh(axis_name=axis_name)
+    if sample_params is None:
+        sample_params = vega.sample_params
+    scan_names = list(grids.keys())
+    if not 1 <= len(scan_names) <= 2:
+        raise ValueError('chi2 scan supports one or two parameters')
+    free_names = [n for n in sample_params['limits'] if n not in scan_names]
+
+    mesh_axes = np.meshgrid(*[np.asarray(grids[n]) for n in scan_names],
+                            indexing='ij')
+    scan_vals = np.stack([ax.ravel() for ax in mesh_axes], axis=-1)
+    n_points = scan_vals.shape[0]
+
+    x0 = jnp.array([sample_params['values'][n] for n in free_names])
+    lo = jnp.array([(-jnp.inf if sample_params['limits'][n][0] is None
+                     else sample_params['limits'][n][0])
+                    for n in free_names])
+    hi = jnp.array([(jnp.inf if sample_params['limits'][n][1] is None
+                     else sample_params['limits'][n][1])
+                    for n in free_names])
+
+    vega._ensure_static_refs()
+    data_vecs = {k: jnp.asarray(v)
+                 for k, v in vega._current_data_vecs().items()}
+    cov_scales = vega._current_cov_scales()
+
+    def chi2_of(x, point, statics):
+        params = {n: x[i] for i, n in enumerate(free_names)}
+        params.update({n: point[i] for i, n in enumerate(scan_names)})
+        return vega._chi2_graph_bound(params, data_vecs, cov_scales,
+                                      statics)[0]
+
+    padded, _ = _pad_to_multiple(scan_vals, mesh.devices.size)
+    x, _, _, chi2, valid = _newton_minimize_batched(
+        chi2_of, x0, lo, hi, jnp.asarray(padded), mesh, axis_name,
+        max_iterations)
+
+    x = np.asarray(x)[:n_points]
+    chi2 = np.asarray(chi2)[:n_points]
+    results = []
+    for g in range(n_points):
+        row = {name: float(x[g, i]) for i, name in enumerate(free_names)}
+        row.update({name: float(scan_vals[g, i])
+                    for i, name in enumerate(scan_names)})
+        row['fval'] = float(chi2[g])
+        results.append(row)
+    return results
+
+
 class MonteCarloEngine:
     """Batched Monte-Carlo mock generation + fitting.
 
@@ -204,51 +322,14 @@ class MonteCarloEngine:
             return vega._chi2_graph_bound(params, data_vecs, cov_scales,
                                           statics)[0]
 
-        grad_fn = jax.grad(chi2_of)
-        hess_fn = jax.hessian(chi2_of)
-
-        def newton_step(x, data_vecs, statics):
-            g = grad_fn(x, data_vecs, statics)
-            h = hess_fn(x, data_vecs, statics)
-            # Levenberg damping for robustness far from the minimum
-            damp = 1e-6 * jnp.trace(h) / len(names)
-            step = jnp.linalg.solve(
-                h + damp * jnp.eye(len(names)), g)
-            x_new = jnp.clip(x - step, lo, hi)
-            return x_new, g, h
-
-        def fit_one(data_vecs, statics):
-            def body(carry, _):
-                x, _, _ = carry
-                x_new, g, h = newton_step(x, data_vecs, statics)
-                return (x_new, g, h), None
-
-            init = (x0, jnp.zeros(len(names)),
-                    jnp.eye(len(names)))
-            (x, g, h), _ = jax.lax.scan(body, init, None,
-                                        length=max_iterations)
-            chi2 = chi2_of(x, data_vecs, statics)
-            cov = 2.0 * jnp.linalg.inv(h)
-            errors = jnp.sqrt(jnp.clip(jnp.diag(cov), 0, None))
-            valid = jnp.all(jnp.abs(g) < 1e-3)
-            return x, errors, cov, chi2, valid
-
-        batch_sharding = NamedSharding(self.mesh, P(self.axis_name))
-        replicated = NamedSharding(self.mesh, P())
-        fit_batched = jax.jit(
-            jax.vmap(fit_one, in_axes=(0, None)),
-            in_shardings=({k: batch_sharding for k in mock_arrays},
-                          replicated),
-        )
-
         padded = {}
         for k, v in mock_arrays.items():
             arr, _ = _pad_to_multiple(np.asarray(v), self.mesh.devices.size)
             padded[k] = jnp.asarray(arr)
 
-        with self.mesh:
-            x, errors, cov, chi2, valid = fit_batched(
-                padded, STATICS.device_tree())
+        x, errors, cov, chi2, valid = _newton_minimize_batched(
+            chi2_of, x0, lo, hi, padded, self.mesh, self.axis_name,
+            max_iterations)
 
         sl = slice(0, num_mocks)
         return {

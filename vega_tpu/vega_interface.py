@@ -175,7 +175,7 @@ class VegaInterface:
                                  self.main_config, self.corr_items,
                                  self.data, self.mc_config, self.global_cov,
                                  grad_func=self.chi2_gradient,
-                                 hess_func=self.chi2_hessian)
+                                 hess_func=self.chi2_hessian, vega=self)
 
         self.corr_num_marg_modes = {}
         if self._has_data:
