@@ -28,9 +28,11 @@ class Analysis:
         self._chi2_func = chi2_func
         self._grad_func = grad_func
         self._hess_func = hess_func
-        self._scan_minimizer = Minimizer(chi2_func, sampler_params,
-                                         grad_func=grad_func,
-                                         hess_func=hess_func)
+        self._scan_minimizer = Minimizer(
+            chi2_func, sampler_params, grad_func=grad_func,
+            hess_func=hess_func,
+            valgrad_func=(vega.chi2_value_and_gradient
+                          if vega is not None else None))
         self._corr_items = corr_items
         self._data = data
         self.mc_config = mc_config
@@ -163,9 +165,11 @@ class Analysis:
 
         np.random.seed(seed)
         sample_params = self.mc_config['sample']
-        minimizer = Minimizer(self._chi2_func, sample_params,
-                              grad_func=self._grad_func,
-                              hess_func=self._hess_func)
+        minimizer = Minimizer(
+            self._chi2_func, sample_params, grad_func=self._grad_func,
+            hess_func=self._hess_func,
+            valgrad_func=(self._vega.chi2_value_and_gradient
+                          if self._vega is not None else None))
 
         self.mc_bestfits = {}
         self.mc_covariances = []

@@ -57,10 +57,12 @@ class Minimizer:
     (reference: minimizer.py:8-188)."""
 
     def __init__(self, chi2_func, sample_params, grad_func=None,
-                 hess_func=None):
+                 hess_func=None, valgrad_func=None):
         self.chi2_func = chi2_func
         self.grad_func = grad_func
         self.hess_func = hess_func
+        # fused value+gradient (one compiled graph instead of two)
+        self.valgrad_func = valgrad_func
         self._names = list(sample_params['limits'].keys())
         self._sample_params = sample_params
         self.run_flag = False
@@ -100,10 +102,22 @@ class Minimizer:
         scales = np.array([max(abs(errors.get(n, 0.1)), 1e-8)
                            for n in free_names])
 
-        def fun(x):
-            return self._chi2_dict(unpack(x))
+        use_grad = (self.grad_func is not None
+                    or self.valgrad_func is not None)
+        fused = self.valgrad_func is not None
 
-        use_grad = self.grad_func is not None
+        if fused:
+            # value and gradient from ONE jitted graph: scipy's
+            # L-BFGS-B accepts jac=True with fun returning (f, g),
+            # halving both the cold-compile count and the per-step
+            # device round-trips
+            def fun(x):
+                val, grads = self.valgrad_func(unpack(x))
+                return float(val), np.array(
+                    [grads[name] for name in free_names])
+        else:
+            def fun(x):
+                return self._chi2_dict(unpack(x))
 
         def jac(x):
             grads = self._grad_dict(unpack(x))
@@ -121,15 +135,16 @@ class Minimizer:
 
         x0 = pack(params_init)
         result = scipy_minimize(
-            fun, x0, jac=jac if use_grad else None, bounds=bounds,
-            method='L-BFGS-B', options=options)
+            fun, x0, jac=True if fused else (jac if use_grad else None),
+            bounds=bounds, method='L-BFGS-B', options=options)
         # Polish: a restart helps L-BFGS-B escape flat curvature
         options = dict(options, ftol=1e-15, gtol=1e-11)
         if not use_grad:
             options['eps'] = scales * 1e-5
         result2 = scipy_minimize(
-            fun, result.x, jac=jac if use_grad else None, bounds=bounds,
-            method='L-BFGS-B', options=options)
+            fun, result.x,
+            jac=True if fused else (jac if use_grad else None),
+            bounds=bounds, method='L-BFGS-B', options=options)
         if result2.fun <= result.fun:
             result = result2
         return result, unpack(result.x)

@@ -170,7 +170,8 @@ class VegaInterface:
         else:
             self.minimizer = Minimizer(
                 self.chi2, self.sample_params,
-                grad_func=self.chi2_gradient, hess_func=self.chi2_hessian)
+                grad_func=self.chi2_gradient, hess_func=self.chi2_hessian,
+                valgrad_func=self.chi2_value_and_gradient)
         self.analysis = Analysis(self.chi2, self.sample_params,
                                  self.main_config, self.corr_items,
                                  self.data, self.mc_config, self.global_cov,
@@ -330,6 +331,24 @@ class VegaInterface:
             self._ensure_static_refs()
             self._jit_chi2 = jax.jit(self._chi2_graph_bound)
         return self._jit_chi2
+
+    def chi2_value_and_gradient(self, params):
+        """(chi^2, d(chi^2)/d(theta)) from one jitted graph.
+
+        The minimizer's hot path: L-BFGS-B consumes value+gradient
+        together, so fusing them halves the cold-compile count (one
+        graph instead of chi^2 + grad) and the per-step dispatches.
+        """
+        if getattr(self, '_jit_chi2_valgrad', None) is None:
+            self._ensure_static_refs()
+            self._jit_chi2_valgrad = jax.jit(jax.value_and_grad(
+                lambda p, dv, cs, st:
+                self._chi2_graph_bound(p, dv, cs, st)[0]))
+        val, grads = self._jit_chi2_valgrad(
+            {k: float(v) for k, v in params.items()},
+            self._current_data_vecs_device(), self._current_cov_scales(),
+            STATICS.device_tree())
+        return float(val), {k: float(v) for k, v in grads.items()}
 
     def chi2_gradient(self, params):
         """Exact d(chi^2)/d(theta) for the sampled parameters via jax.grad
@@ -671,7 +690,8 @@ class VegaInterface:
         sample_params = self.mc_config['sample']
         self.minimizer = Minimizer(
             self.chi2, sample_params,
-            grad_func=self.chi2_gradient, hess_func=self.chi2_hessian)
+            grad_func=self.chi2_gradient, hess_func=self.chi2_hessian,
+            valgrad_func=self.chi2_value_and_gradient)
 
         forecast = self.main_config['control'].getboolean('forecast', False)
         seed = self.main_config['control'].getint('mc_seed', 0)
