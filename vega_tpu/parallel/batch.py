@@ -131,8 +131,56 @@ class BatchedLikelihood:
         return log_lik
 
 
+def _spd_cholesky(a):
+    """Plain-jnp Cholesky, unrolled over the (static, small) dimension.
+
+    TPU's LuDecomposition/Cholesky custom calls only support f32, so
+    jnp.linalg.solve/inv on the f64 (n_free, n_free) Newton systems
+    fails to compile; with n_free ~ O(10) an unrolled elementwise
+    factorization is both compilable and free."""
+    n = a.shape[-1]
+    l = jnp.zeros_like(a)
+    for j in range(n):
+        s = a[..., j, j] - jnp.sum(l[..., j, :j] ** 2, axis=-1)
+        ljj = jnp.sqrt(s)
+        l = l.at[..., j, j].set(ljj)
+        if j + 1 < n:
+            r = (a[..., j + 1:, j]
+                 - jnp.einsum('...ik,...k->...i', l[..., j + 1:, :j],
+                              l[..., j, :j]))
+            l = l.at[..., j + 1:, j].set(r / ljj[..., None])
+    return l
+
+
+def _spd_solve(a, b):
+    """Solve a @ x = b for symmetric positive-definite a via the
+    unrolled Cholesky + unrolled substitutions (b: (..., n) or
+    (..., n, m)); everything is elementwise jnp, no lapack calls."""
+    l = _spd_cholesky(a)
+    n = a.shape[-1]
+    vector = b.ndim == a.ndim - 1
+    if vector:
+        b = b[..., None]
+    y = jnp.zeros_like(b)
+    for j in range(n):  # forward substitution
+        r = b[..., j, :] - jnp.einsum('...k,...km->...m',
+                                      l[..., j, :j], y[..., :j, :])
+        y = y.at[..., j, :].set(r / l[..., j, j][..., None])
+    x = jnp.zeros_like(b)
+    for j in reversed(range(n)):  # back substitution with L^T
+        r = y[..., j, :] - jnp.einsum('...k,...km->...m',
+                                      l[..., j + 1:, j], x[..., j + 1:, :])
+        x = x.at[..., j, :].set(r / l[..., j, j][..., None])
+    return x[..., 0] if vector else x
+
+
+def _spd_inv(a):
+    return _spd_solve(a, jnp.eye(a.shape[-1], dtype=a.dtype))
+
+
 def _newton_minimize_batched(chi2_of, x0, lo, hi, batch_inputs, mesh,
-                             axis_name, max_iterations):
+                             axis_name, max_iterations,
+                             chunk_per_device=None):
     """Shared batched damped-Newton minimizer.
 
     chi2_of(x, batch_elem, statics) -> scalar; batch_inputs is a pytree
@@ -141,9 +189,18 @@ def _newton_minimize_batched(chi2_of, x0, lo, hi, batch_inputs, mesh,
     scan. Every iteration evaluates the exact jax gradient + Hessian
     for the whole batch, sharded over the mesh.
 
+    Chunked like BatchedLikelihood: the Hessian graph holds several
+    model forwards per element, so only chunk_per_device elements per
+    device are in flight at once (lax.map over chunks); a batch-64
+    Hessian fit of the DR16 config would otherwise need ~47 GB of HBM.
+
     Returns (x, errors, cov, chi2, valid) with the batch axis leading.
     """
+    import os
     n_free = x0.shape[0]
+    if chunk_per_device is None:
+        chunk_per_device = int(os.environ.get(
+            'VEGA_TPU_FIT_CHUNK_PER_DEVICE', 8))
 
     grad_fn = jax.grad(chi2_of)
     hess_fn = jax.hessian(chi2_of)
@@ -154,34 +211,72 @@ def _newton_minimize_batched(chi2_of, x0, lo, hi, batch_inputs, mesh,
         # Levenberg damping for robustness far from the minimum
         # (max(n_free, 1) keeps the all-params-scanned case finite)
         damp = 1e-6 * jnp.trace(h) / max(n_free, 1)
-        step = jnp.linalg.solve(h + damp * jnp.eye(n_free), g)
+        step = _spd_solve(h + damp * jnp.eye(n_free), g)
         x_new = jnp.clip(x - step, lo, hi)
         return x_new, g, h
 
     def fit_one(batch_elem, statics):
-        def body(carry, _):
-            x, _, _ = carry
-            x_new, g, h = newton_step(x, batch_elem, statics)
-            return (x_new, g, h), None
+        # while_loop instead of a fixed-length scan: Newton converges in
+        # ~10-20 steps, so iterating to the max_iterations cap would
+        # waste ~10x device work. Under vmap the loop runs until every
+        # batch element satisfies the gradient tolerance (or the cap).
+        def cond(carry):
+            _, g, it = carry
+            g_norm = jnp.max(jnp.abs(g), initial=0.0)  # 0 if no free params
+            return (it < max_iterations) & (g_norm > 1e-6)
 
-        init = (x0, jnp.zeros(n_free), jnp.eye(n_free))
-        (x, g, h), _ = jax.lax.scan(body, init, None,
-                                    length=max_iterations)
+        def body(carry):
+            x, _, it = carry
+            x_new, g, _ = newton_step(x, batch_elem, statics)
+            return (x_new, g, it + 1)
+
+        x, g, _ = jax.lax.while_loop(
+            cond, body, (x0, jnp.full(n_free, jnp.inf), 0))
+        # curvature at the converged point (the loop's h lags one step)
+        h = hess_fn(x, batch_elem, statics)
         chi2 = chi2_of(x, batch_elem, statics)
-        cov = 2.0 * jnp.linalg.inv(h)
+        cov = 2.0 * _spd_inv(h)
         errors = jnp.sqrt(jnp.clip(jnp.diag(cov), 0, None))
         valid = jnp.all(jnp.abs(g) < 1e-3)
         return x, errors, cov, chi2, valid
 
-    batch_sharding = NamedSharding(mesh, P(axis_name))
+    leaves = jax.tree.leaves(batch_inputs)
+    n = leaves[0].shape[0]
+    n_dev = mesh.devices.size
+    per_dev = min(chunk_per_device, -(-n // n_dev))
+    chunk_total = per_dev * n_dev
+
+    def pad_and_chunk(v):
+        arr = np.asarray(v)
+        pad = (-arr.shape[0]) % chunk_total
+        if pad:
+            arr = np.pad(arr, [(0, pad)] + [(0, 0)] * (arr.ndim - 1),
+                         mode='edge')
+        return jnp.asarray(
+            arr.reshape((-1, chunk_total) + arr.shape[1:]))
+
+    chunked_inputs = jax.tree.map(pad_and_chunk, batch_inputs)
+
+    def run(batch, statics):
+        def one_chunk(chunk):
+            return jax.vmap(fit_one, in_axes=(0, None))(chunk, statics)
+        return jax.lax.map(one_chunk, batch)
+
+    chunk_sharding = NamedSharding(mesh, P(None, axis_name))
     replicated = NamedSharding(mesh, P())
     fit_batched = jax.jit(
-        jax.vmap(fit_one, in_axes=(0, None)),
-        in_shardings=(jax.tree.map(lambda _: batch_sharding, batch_inputs),
-                      replicated),
+        run,
+        in_shardings=(jax.tree.map(lambda _: chunk_sharding,
+                                   chunked_inputs), replicated),
     )
     with mesh:
-        return fit_batched(batch_inputs, STATICS.device_tree())
+        out = fit_batched(chunked_inputs, STATICS.device_tree())
+    # merge chunks and strip the internal padding back to n rows
+    # (explicit leading dim: reshape(-1) is ambiguous for zero-size
+    # leaves, e.g. x of shape (B, 0) when every parameter is scanned)
+    return jax.tree.map(
+        lambda a: a.reshape((a.shape[0] * a.shape[1],)
+                            + a.shape[2:])[:n], out)
 
 
 def batched_chi2_scan(vega, grids, sample_params=None, mesh=None,
