@@ -27,7 +27,10 @@ def test_against_scipy_fht(k_grid):
     pk = np.exp(-((np.log(k_grid) - np.log(0.05)) ** 2) / 2)
     delta = np.log(k_grid[-1] / k_grid[0]) / (len(k_grid) - 1)
     for ell in (0, 2):
-        f = FFTLogP2Xi(k_grid, ell)
+        # pad_to=0: scipy.fft.fht has no zero-padding, so compare the
+        # unpadded discretization (the padded default differs from it by
+        # the suppressed aliasing, ~1e-5 pointwise)
+        f = FFTLogP2Xi(k_grid, ell, pad_to=0)
         a = pk * k_grid ** 1.5
         big_a = fht(a, delta, mu=ell + 0.5, offset=f.lnxy, bias=0)
         sign = -1.0 if (ell // 2) % 2 else 1.0

@@ -12,9 +12,12 @@ from vega_tpu.ops.fftlog import (
 def test_xi2p_roundtrip():
     k = np.logspace(-4, np.log10(1152.5), 814)
     pk = np.exp(-((np.log(k) - np.log(0.1)) ** 2))
-    fwd = FFTLogP2Xi(k, 0)
+    # pad_to=0 on both: the exact discrete-inverse property only holds
+    # for the unpadded circular transforms (the padded default trades it
+    # for physical accuracy; see tests/test_fftlog.py quadrature checks)
+    fwd = FFTLogP2Xi(k, 0, pad_to=0)
     xi = fwd.transform(pk)
-    inv = FFTLogXi2P(fwd.r_grid, 0)
+    inv = FFTLogXi2P(fwd.r_grid, 0, pad_to=0)
     np.testing.assert_allclose(inv.k_grid, k, rtol=1e-12)
     pk_back = inv.transform(xi)
     sel = (k > 1e-3) & (k < 100)

@@ -47,7 +47,8 @@ LOWRING_BRANCH = 'nearest'
 def lowring_offset(delta: float, mu: float, branch: str | None = None) -> float:
     """ln(xy) satisfying the low-ringing condition: the Nyquist
     coefficient u_{N/2} is real, killing the sawtooth ringing mode."""
-    branch = branch or LOWRING_BRANCH
+    import os
+    branch = branch or os.environ.get('VEGA_TPU_LOWRING', LOWRING_BRANCH)
     # arg U_mu(1 + i pi / delta)
     z = 1.0 + 1j * np.pi / delta
     lg = loggamma((mu + z) / 2) - loggamma((mu - z) / 2 + 1)
@@ -74,14 +75,28 @@ def _u_coefficients(n: int, delta: float, mu: float, lnxy: float) -> np.ndarray:
     return u
 
 
+def default_pad_size(n_in: int) -> int:
+    """mcfit's default convolution size: the smallest power of 2 that at
+    least doubles the input length (mcfit.mcfit N=None default)."""
+    return 2 ** int(np.ceil(np.log2(2 * n_in)))
+
+
 class FFTLogP2Xi:
     """P_ell(k) -> xi_ell(r) transform for one multipole on a fixed k grid.
 
     Precomputes the output r grid and the dense operator matrix. Also
     offers a direct numpy `transform` used for validation.
+
+    ``pad_to`` selects the FFT convolution length N >= n_in; the input is
+    zero-padded symmetrically in log k (matching mcfit's extrap=False call
+    path, the reference default at pktoxi.py:41,141) which lengthens the
+    log-periodic domain and suppresses aliasing ringing. ``pad_to=None``
+    reproduces mcfit's default power-of-two doubling; ``pad_to=0`` keeps
+    the unpadded N = n_in transform.
     """
 
-    def __init__(self, k_grid: np.ndarray, ell: int, lowring: bool = True):
+    def __init__(self, k_grid: np.ndarray, ell: int, lowring: bool = True,
+                 pad_to: int | None = None):
         k = np.asarray(k_grid, dtype=np.float64)
         n = len(k)
         delta = np.log(k[-1] / k[0]) / (n - 1)
@@ -90,29 +105,47 @@ class FFTLogP2Xi:
         if not np.allclose(ratios, delta, rtol=1e-8, atol=1e-10):
             raise ValueError('FFTLog requires a log-spaced k grid')
 
+        if pad_to is None:
+            pad_to = default_pad_size(n)
+        n_fft = max(int(pad_to), n)
+
         self.ell = ell
         self.k_grid = k
         self.n = n
+        self.n_fft = n_fft
         self.delta = delta
         mu = ell + 0.5
         lnxy = lowring_offset(delta, mu) if lowring else 0.0
         self.lnxy = lnxy
 
-        # Output grid: r_j = xy / k[n-1-j]
+        # Output grid: r_j = xy / k[n-1-j] (independent of padding)
         self.r_grid = np.exp(lnxy) / k[::-1]
 
-        self._u = _u_coefficients(n, delta, mu, lnxy)
+        self._u = _u_coefficients(n_fft, delta, mu, lnxy)
+        # zero-pad split (result is exactly rotation-invariant in the
+        # split; mirror mcfit's centered choice)
+        n_pad = n_fft - n
+        self._pad_l = n_pad // 2
         self._prefac = k ** 1.5
         sign = -1.0 if (ell // 2) % 2 else 1.0
         self._postfac = (
             sign / (2 * np.pi ** 2) * np.sqrt(np.pi / 2) * self.r_grid ** -1.5
         )
 
+    def _convolve(self, a: np.ndarray) -> np.ndarray:
+        """Padded log-convolution along the last axis: input (..., n) ->
+        output (..., n) already reversed onto the increasing-r grid."""
+        n, n_fft, pad_l = self.n, self.n_fft, self._pad_l
+        shape = a.shape[:-1] + (n_fft,)
+        f = np.zeros(shape, dtype=np.float64)
+        f[..., pad_l:pad_l + n] = a
+        g = np.fft.ifft(np.fft.fft(f, axis=-1) * self._u, axis=-1).real
+        return g[..., pad_l:pad_l + n][..., ::-1]
+
     def transform(self, pk_ell: np.ndarray) -> np.ndarray:
         """Direct numpy evaluation (validation / host path)."""
         a = np.asarray(pk_ell, dtype=np.float64) * self._prefac
-        hr = np.fft.ifft(np.fft.fft(a) * self._u)[::-1].real
-        return self._postfac * hr
+        return self._postfac * self._convolve(a)
 
     def operator(self) -> np.ndarray:
         """Dense (n, n) matrix M with xi = M @ pk_ell.
@@ -122,10 +155,8 @@ class FFTLogP2Xi:
         """
         n = self.n
         # Apply the transform to the identity, batched over columns.
-        eye = np.eye(n)
-        a = eye * self._prefac[None, :]
-        hr = np.fft.ifft(np.fft.fft(a, axis=1) * self._u[None, :], axis=1)
-        m = hr[:, ::-1].real * self._postfac[None, :]
+        a = np.eye(n) * self._prefac[None, :]
+        m = self._convolve(a) * self._postfac[None, :]
         return np.ascontiguousarray(m.T)
 
 
@@ -138,19 +169,25 @@ class FFTLogXi2P:
     mcfit.xi2P in bin/make_template.py:26-29).
     """
 
-    def __init__(self, r_grid: np.ndarray, ell: int, lowring: bool = True):
+    def __init__(self, r_grid: np.ndarray, ell: int, lowring: bool = True,
+                 pad_to: int | None = None):
         r = np.asarray(r_grid, dtype=np.float64)
         n = len(r)
         delta = np.log(r[-1] / r[0]) / (n - 1)
+        if pad_to is None:
+            pad_to = default_pad_size(n)
+        n_fft = max(int(pad_to), n)
         self.ell = ell
         self.r_grid = r
         self.n = n
+        self.n_fft = n_fft
         mu = ell + 0.5
         lnxy = lowring_offset(delta, mu) if lowring else 0.0
         self.lnxy = lnxy
         self.k_grid = np.exp(lnxy) / r[::-1]
 
-        self._u = _u_coefficients(n, delta, mu, lnxy)
+        self._u = _u_coefficients(n_fft, delta, mu, lnxy)
+        self._pad_l = (n_fft - n) // 2
         self._prefac = r ** 1.5
         sign = -1.0 if (ell // 2) % 2 else 1.0
         # 4 pi * sqrt(pi/2) against the forward's 1/(2 pi^2) sqrt(pi/2)
@@ -159,8 +196,11 @@ class FFTLogXi2P:
 
     def transform(self, xi_ell: np.ndarray) -> np.ndarray:
         a = np.asarray(xi_ell, dtype=np.float64) * self._prefac
-        hk = np.fft.ifft(np.fft.fft(a) * self._u)[::-1].real
-        return self._postfac * hk
+        n, n_fft, pad_l = self.n, self.n_fft, self._pad_l
+        f = np.zeros(a.shape[:-1] + (n_fft,), dtype=np.float64)
+        f[..., pad_l:pad_l + n] = a
+        hk = np.fft.ifft(np.fft.fft(f, axis=-1) * self._u, axis=-1).real
+        return self._postfac * hk[..., pad_l:pad_l + n][..., ::-1]
 
 
 def extrapolated_transform(fftlog_cls, x, f, ell=0, pad_factor=2,

@@ -97,15 +97,18 @@ class PktoXi:
         # The dense transform operators only depend on (k grid, ell_max,
         # lowring, old_fftlog) — identical across the ~16 tracer pairs per
         # correlation — so they are built once and shared.
+        import os
+        pad_env = os.environ.get('VEGA_TPU_FFT_PAD', 'mcfit')
+        pad_to = None if pad_env == 'mcfit' else int(pad_env)
         cache_key = (self.k_grid.tobytes(), self.ell_vals,
-                     self._old_fftlog, self._lowring)
+                     self._old_fftlog, self._lowring, pad_env)
         if cache_key not in _OPERATOR_CACHE:
             if self._old_fftlog:
                 ops, logr = self._build_legacy_operators(
                     self.ell_vals, n_exp=2, project_scale=True)
             else:
                 fftlogs = [FFTLogP2Xi(self.k_grid, ell,
-                                      lowring=self._lowring)
+                                      lowring=self._lowring, pad_to=pad_to)
                            for ell in self.ell_vals]
                 logr = np.log(fftlogs[0].r_grid)
                 ops = np.stack([f.operator() for f in fftlogs])
@@ -135,6 +138,9 @@ class PktoXi:
     # ------------------------------------------------------------------
     def compute_pk_ells(self, pk):
         """P(k, mu_k) -> multipoles (n_ell, n_k) (reference: pktoxi.py:79-97)."""
+        from .power_spectrum import FactoredPk
+        if isinstance(pk, FactoredPk):
+            pk = pk.dense()
         return self.legendre_proj @ pk
 
     def compute(self, r_grid, mu_grid, pk, single_ell=-1):
@@ -143,10 +149,30 @@ class PktoXi:
 
         The reference's VegaBoundsError on out-of-range interpolation
         becomes the oob flag here.
+
+        A FactoredPk input pushes the (linear) projection + FFTLog +
+        spline-solve operators through its static basis grids, so under
+        vmap the grid-sized work runs once per batch and each evaluation
+        is a (n_t) x (n_t, n_ell, n_r) contraction.
         """
-        pk_ells = self.legendre_proj @ pk                      # (n_ell, n_k)
-        xi_knots = jnp.einsum('lij,lj->li', resolve(self.fft_ops), pk_ells)
-        m_knots = jnp.einsum('lij,lj->li', resolve(self.fft_sd_ops), pk_ells)
+        from .power_spectrum import FactoredPk
+        if isinstance(pk, FactoredPk):
+            basis = jnp.stack(pk.bases)                    # (t, muk, k)
+            pk_ells_t = jnp.einsum('lm,tmk->tlk',
+                                   jnp.asarray(self.legendre_proj), basis)
+            knots_t = jnp.einsum('lij,tlj->tli',
+                                 resolve(self.fft_ops), pk_ells_t)
+            mknots_t = jnp.einsum('lij,tlj->tli',
+                                  resolve(self.fft_sd_ops), pk_ells_t)
+            theta = jnp.stack(pk.coeffs)                   # (t,)
+            xi_knots = jnp.einsum('t,tli->li', theta, knots_t)
+            m_knots = jnp.einsum('t,tli->li', theta, mknots_t)
+        else:
+            pk_ells = self.legendre_proj @ pk              # (n_ell, n_k)
+            xi_knots = jnp.einsum('lij,lj->li',
+                                  resolve(self.fft_ops), pk_ells)
+            m_knots = jnp.einsum('lij,lj->li',
+                                 resolve(self.fft_sd_ops), pk_ells)
 
         mask = r_grid != 0
         safe_r = jnp.where(mask, r_grid, 1.0)
