@@ -23,6 +23,8 @@ from .statics import is_identity, register as register_static, resolve
 def _concrete(x):
     """True when x can be materialized (saving components only makes
     sense on eager evaluations; under jit the values are tracers)."""
+    if isinstance(x, power_spectrum.FactoredPk):
+        return False    # factored form only exists inside a trace
     return not isinstance(x, jax.core.Tracer)
 
 
@@ -162,11 +164,8 @@ class Model:
         pk_peak_lin = np.asarray(pk_full) - np.asarray(pk_smooth)
 
         pars['peak'] = True
-        skip_nl = self.Pk_core.skip_nl_model_in_peak
-        factor_peak, bad_f = self.Pk_core._shared_factor(pars,
-                                                         skip_nl=skip_nl)
-        pk_peak = (jnp.asarray(pk_peak_lin) * factor_peak
-                   * self.Pk_core.compute_peak_nl(pars))
+        pk_peak, pk_smooth_grid, bad_f = self.Pk_core.compute_peak_smooth(
+            pars, pk_peak_lin, pk_smooth)
         xi_peak, bad_peak = self._compute_model(
             pars, pk_peak_lin, 'peak', pk_model=pk_peak, bad_in=bad_f)
 
@@ -176,12 +175,6 @@ class Model:
         if self._corr_item.has_metals and self.no_metal_decomp:
             xi_metals, bad_metals = self.metals.compute(pars, pk_full, 'full')
 
-        if skip_nl:
-            factor_smooth, bad_f2 = self.Pk_core._shared_factor(pars)
-            bad_metals = bad_metals | bad_f2
-        else:
-            factor_smooth = factor_peak
-        pk_smooth_grid = jnp.asarray(pk_smooth) * factor_smooth
         xi_smooth, bad_smooth = self._compute_model(
             pars, pk_smooth, 'smooth', xi_metals=xi_metals,
             pk_model=pk_smooth_grid)

@@ -18,11 +18,73 @@ architectural differences:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import utils
 from .statics import register as register_static, resolve
+
+
+def _has_tracer(*vals):
+    """True if any value is a jax tracer (i.e. depends on a sampled
+    parameter in the current trace; fixed config parameters stay Python
+    floats all the way through `_get_lcl_prms`)."""
+    return any(isinstance(v, jax.core.Tracer) for v in vals)
+
+
+class _RecordingParams:
+    """Read-only params view recording every accessed value, so a factor
+    can be classified static (none of the parameters it actually read is
+    traced) without hard-coding its parameter list."""
+
+    def __init__(self, params):
+        self._params = params
+        self.accessed = []
+
+    def __getitem__(self, key):
+        val = self._params[key]
+        self.accessed.append(val)
+        return val
+
+    def get(self, key, default=None):
+        val = self._params.get(key, default)
+        self.accessed.append(val)
+        return val
+
+    def __contains__(self, key):
+        return key in self._params
+
+    def traced(self):
+        return _has_tracer(*self.accessed)
+
+
+class FactoredPk:
+    """P(k, mu_k) = sum_t coeffs[t] * bases[t].
+
+    coeffs are (possibly traced, possibly vmapped) scalars; bases are
+    (mu_k, k) grids that do NOT depend on sampled parameters, so under
+    vmap every grid-sized operation on them stays unbatched and the
+    per-evaluation work is one tiny contraction. Downstream linear
+    operators (Legendre projection, FFTLog, spline solve) are pushed
+    through the bases (see PktoXi.compute), which is exact up to float
+    reassociation (~1e-16 relative).
+    """
+
+    __slots__ = ('coeffs', 'bases')
+
+    def __init__(self, coeffs, bases):
+        assert len(coeffs) == len(bases)
+        self.coeffs = list(coeffs)
+        self.bases = list(bases)
+
+    def dense(self):
+        out = self.coeffs[0] * self.bases[0]
+        for c, b in zip(self.coeffs[1:], self.bases[1:]):
+            out = out + c * b
+        return out
 
 
 class PowerSpectrum:
@@ -127,6 +189,265 @@ class PowerSpectrum:
         if peak:
             pk_full = pk_full * self.compute_peak_nl(params)
         return pk_full, bad
+
+    def compute_peak_smooth(self, params, pk_peak_lin, pk_smooth_lin):
+        """Both components of one evaluation: returns
+        (pk_peak, pk_smooth, bad).
+
+        Same factors as two `compute` passes (reference
+        power_spectrum.py:87-196 called per component behind value
+        caches), restructured for batched evaluation throughput:
+
+        - every factor whose parameters are not being sampled stays
+          *unbatched* under vmap, so the per-evaluation work collapses to
+          the Kaiser polynomial and one or two grid multiplies — the
+          factors are accumulated most-likely-static first so a traced
+          factor never poisons the static prefix;
+        - the linear pk and the static accumulator multiply *before* the
+          (typically batched) Kaiser term;
+        - the Kaiser x HCD/UV algebra is division-free (see
+          `compute_tracer_polys`).
+
+        All reorderings are exact in real arithmetic; float reassociation
+        differences are ~1e-16 relative, far below the 1e-9 parity
+        budget.
+        """
+        bad = jnp.asarray(False)
+
+        def mul(acc, fac):
+            if fac is None:
+                return acc
+            return fac if acc is None else acc * fac
+
+        # Factors shared by peak and smooth, most-likely-static first
+        rec_common = _RecordingParams(params)
+        common = None
+        if self.pk_damping_scale is not None:
+            common = mul(common, jnp.exp(
+                -self.pk_damping_scale ** 2
+                * self.k_grid ** self.pk_damping_power / 2))
+        if self.use_Gk:
+            if (f'par binsize {self._name}' in params
+                    or f'per binsize {self._name}' in params):
+                common = mul(common, self.compute_Gk(rec_common))
+            else:
+                common = mul(common, resolve(self._pk_gk_ref))
+        if self.mock_bin_size is not None:
+            common = mul(common, self._compute_mock_binsize_gk(rec_common))
+        if self.velocity_dispersion is not None:
+            if 'lorentz_gauss' in self.velocity_dispersion:
+                common = mul(common,
+                             self.compute_velocity_dispersion_lorentz(
+                                 rec_common))
+                common = mul(common,
+                             self.compute_velocity_dispersion_gauss(
+                                 rec_common))
+            elif 'gauss' in self.velocity_dispersion:
+                common = mul(common,
+                             self.compute_velocity_dispersion_gauss(
+                                 rec_common))
+            elif 'lorentz' in self.velocity_dispersion:
+                common = mul(common,
+                             self.compute_velocity_dispersion_lorentz(
+                                 rec_common))
+            else:
+                raise ValueError(
+                    '"velocity dispersion" must be "gauss" or "lorentz"')
+
+        # Non-linear factors, skipped in the peak when configured
+        rec_nl = _RecordingParams(params)
+        nl = None
+        if self.small_scale_nl is not None:
+            if 'arinyo' in self.small_scale_nl:
+                dnl, dnl_bad = self.compute_dnl_arinyo(rec_nl)
+                nl = mul(nl, dnl)
+                bad = bad | dnl_bad
+            elif 'mcdonald' in self.small_scale_nl:
+                nl = mul(nl, self.compute_dnl_mcdonald())
+            else:
+                raise ValueError("Incorrect 'small scale nl' specified")
+        if self.fullshape_smoothing is not None:
+            if 'gauss' in self.fullshape_smoothing:
+                nl = mul(nl, self.compute_fullshape_gauss_smoothing(rec_nl))
+            elif 'exp' in self.fullshape_smoothing:
+                nl = mul(nl, self.compute_fullshape_exp_smoothing(rec_nl))
+            else:
+                raise ValueError(
+                    '"fullshape smoothing" must be "gauss" or "exp"')
+
+        rec_peak = _RecordingParams(params)
+        peak_nl = self.compute_peak_nl(rec_peak)
+
+        smooth_static = mul(mul(jnp.asarray(pk_smooth_lin), common), nl)
+        peak_static = jnp.asarray(pk_peak_lin)
+        peak_static = mul(peak_static, common)
+        if not self.skip_nl_model_in_peak:
+            peak_static = mul(peak_static, nl)
+        peak_static = mul(peak_static, peak_nl)
+
+        # Factored fast path: when every grid-shaped factor is static and
+        # the Kaiser term decomposes into scalar coefficients x static
+        # basis grids, return FactoredPk so the projection/FFTLog work
+        # hoists out of the batch (see class docstring). Active only
+        # inside a trace (eager calls keep the plain grids).
+        if (os.environ.get('VEGA_TPU_FACTORED', '1') == '1'
+                and _has_tracer(*params.values())
+                and not (rec_common.traced() or rec_nl.traced()
+                         or rec_peak.traced())):
+            terms = self._kaiser_product_terms(params)
+            if terms is not None:
+                pk_peak = FactoredPk(
+                    [c for c, _ in terms],
+                    [peak_static * g for _, g in terms])
+                pk_smooth = FactoredPk(
+                    [c for c, _ in terms],
+                    [smooth_static * g for _, g in terms])
+                return pk_peak, pk_smooth, bad
+
+        kaiser = self.compute_kaiser_poly(params)
+        pk_peak = peak_static * kaiser
+        pk_smooth = smooth_static * kaiser
+        return pk_peak, pk_smooth, bad
+
+    # ------------------------------------------------------------------
+    # Kaiser decomposition for the factored fast path
+    # ------------------------------------------------------------------
+    def _tracer_poly_terms(self, params, name, bias, beta):
+        """Decompose one tracer's Kaiser polynomial
+        T = b_eff + bb_eff * muk^2 into [(coeff, key, mupow)] where every
+        key names a grid that does not depend on sampled parameters.
+        Returns None when a grid-shaping parameter is sampled."""
+        b_terms = [(bias, 'one')]
+        bb_terms = [(bias * beta, 'one')]
+
+        if (self._add_uvb or self._add_heii) and name == 'LYA':
+            if self._add_uvb:
+                lam = params['lambda_uv']
+                b_prim = params['bias_prim']
+                if _has_tracer(lam, b_prim):
+                    return None
+                b_terms.append((params['bias_gamma'], ('uv', lam, b_prim)))
+            if self._add_heii:
+                lam = params['lambda_HeII']
+                b_prim = params['bias_prim']
+                if _has_tracer(lam, b_prim):
+                    return None
+                b_terms.append((params['bias_gamma_e'], ('uv', lam, b_prim)))
+
+        if self.hcd_model is not None and name == 'LYA':
+            hcd_shape_pars = [params.get('L0_hcd'), params.get('L0_fvoigt'),
+                              params.get('L0_sinc')]
+            if _has_tracer(*hcd_shape_pars):
+                return None
+            bias_hcd = params.get(f'bias_hcd_{self._corr_name}')
+            if bias_hcd is None:
+                bias_hcd = params['bias_hcd']
+            beta_hcd = params.get(f'beta_hcd_{self._corr_name}')
+            if beta_hcd is None:
+                beta_hcd = params['beta_hcd']
+            b_terms.append((bias_hcd, 'hcd'))
+            bb_terms.append((bias_hcd * beta_hcd, 'hcd'))
+
+        return ([(c, key, 0) for c, key in b_terms]
+                + [(c, key, 2) for c, key in bb_terms])
+
+    def _poly_basis_grid(self, key, params):
+        """Resolve a basis key from `_tracer_poly_terms` to its grid."""
+        if key == 'one':
+            return None                     # multiplicative identity
+        if key == 'hcd':
+            return self._hcd_profile(params)
+        if isinstance(key, tuple) and key[0] == 'uv':
+            _, lam, b_prim = key
+            w_k = np.arctan(self.k_grid * lam) / (self.k_grid * lam)
+            return jnp.asarray(w_k / (1 + b_prim * w_k)
+                               * np.ones_like(self.muk_grid))
+        raise KeyError(key)
+
+    def _kaiser_product_terms(self, params):
+        """Kaiser factor as merged [(coeff, grid)] product terms, or None
+        when not decomposable. Exact (up to reassociation) against
+        `compute_kaiser_poly`."""
+        bias1, beta1, bias2, beta2 = utils.bias_beta(
+            params, self.tracer1_name, self.tracer2_name)
+        t1 = self._tracer_poly_terms(params, self.tracer1_name, bias1, beta1)
+        t2 = self._tracer_poly_terms(params, self.tracer2_name, bias2, beta2)
+        if t1 is None or t2 is None:
+            return None
+
+        merged = {}
+        for c1, k1, p1 in t1:
+            for c2, k2, p2 in t2:
+                key = (tuple(sorted([repr(k1), repr(k2)])), p1 + p2)
+                coeff = c1 * c2
+                if key in merged:
+                    prev_c, _ = merged[key]
+                    merged[key] = (prev_c + coeff, merged[key][1])
+                else:
+                    merged[key] = (coeff, (k1, k2, p1 + p2))
+
+        grid_cache = {}
+
+        def basis(k):
+            rk = repr(k)
+            if rk not in grid_cache:
+                grid_cache[rk] = self._poly_basis_grid(k, params)
+            return grid_cache[rk]
+
+        muk2 = jnp.asarray(self.muk_grid ** 2 * np.ones_like(self.k_grid))
+        mu_pows = {0: None, 2: muk2, 4: muk2 * muk2}
+
+        terms = []
+        for coeff, (k1, k2, mupow) in merged.values():
+            grid = mu_pows[mupow]
+            for k in (k1, k2):
+                g = basis(k)
+                if g is not None:
+                    grid = g if grid is None else grid * g
+            if grid is None:
+                grid = jnp.asarray(np.ones_like(self.muk_grid)
+                                   * np.ones_like(self.k_grid))
+            terms.append((coeff, grid))
+        return terms
+
+    def compute_tracer_polys(self, params):
+        """Per-tracer Kaiser polynomial coefficients (b_eff, bb_eff) with
+        T_i(muk) = b_eff_i + bb_eff_i * muk^2, folding in the UV/HeII and
+        HCD effective biases WITHOUT the beta_eff division of the
+        reference (power_spectrum.py:263-309): since
+        beta_eff = (b*beta + b_hcd*beta_hcd*F)/b_eff, the product
+        b_eff*(1 + beta_eff*muk^2) telescopes to
+        b_eff + (b*beta + b_hcd*beta_hcd*F)*muk^2 exactly."""
+        bias1, beta1, bias2, beta2 = utils.bias_beta(
+            params, self.tracer1_name, self.tracer2_name)
+
+        polys = []
+        for name, bias, beta in ((self.tracer1_name, bias1, beta1),
+                                 (self.tracer2_name, bias2, beta2)):
+            b_eff = bias
+            bb_eff = bias * beta
+            if (self._add_uvb or self._add_heii) and name == 'LYA':
+                # UV/HeII shift the bias only; bias*beta is invariant
+                # (beta_eff = beta * bias / bias_eff)
+                b_eff, _ = self.compute_bias_beta_uv_heii(bias, beta, params)
+            if self.hcd_model is not None and name == 'LYA':
+                bias_hcd = params.get(f'bias_hcd_{self._corr_name}')
+                if bias_hcd is None:
+                    bias_hcd = params['bias_hcd']
+                beta_hcd = params.get(f'beta_hcd_{self._corr_name}')
+                if beta_hcd is None:
+                    beta_hcd = params['beta_hcd']
+                f_hcd = self._hcd_profile(params)
+                b_eff = b_eff + bias_hcd * f_hcd
+                bb_eff = bb_eff + (bias_hcd * beta_hcd) * f_hcd
+            polys.append((b_eff, bb_eff))
+        return polys
+
+    def compute_kaiser_poly(self, params):
+        """Kaiser factor from the division-free tracer polynomials."""
+        (b1, bb1), (b2, bb2) = self.compute_tracer_polys(params)
+        muk2 = self.muk_grid ** 2
+        return (b1 + bb1 * muk2) * (b2 + bb2 * muk2)
 
     def _shared_factor(self, params, fast_metals=False, skip_nl=False):
         """Every multiplicative factor except the peak broadening — the
@@ -243,26 +564,29 @@ class PowerSpectrum:
         if beta_hcd is None:
             beta_hcd = params['beta_hcd']
 
+        f_hcd = self._hcd_profile(params)
+        bias_eff = bias + bias_hcd * f_hcd
+        beta_eff = (bias * beta + bias_hcd * beta_hcd * f_hcd) / bias_eff
+        return bias_eff, beta_eff
+
+    def _hcd_profile(self, params):
+        """The HCD suppression profile F(k_par) on the grid
+        (reference: power_spectrum.py:263-309 inner branches)."""
         if 'Rogers' in self.hcd_model:
             # Fourier transform of a Lorentzian profile (Rogers et al. 2018)
-            f_hcd = utils.grid_exp(-params['L0_hcd'] * self._kp())
+            return utils.grid_exp(-params['L0_hcd'] * self._kp())
         elif 'fvoigt' in self.hcd_model:
             assert self._Fvoigt_data is not None
             L0 = params.get('L0_fvoigt', 1.)
             k_data = self._Fvoigt_data[:, 0]
             f_data = self._Fvoigt_data[:, 1]
-            f_hcd = jnp.interp(L0 * self._kp(), k_data, f_data,
-                               left=1., right=0.)
+            return jnp.interp(L0 * self._kp(), k_data, f_data,
+                              left=1., right=0.)
         elif 'sinc' in self.hcd_model:
             L0 = params.get('L0_sinc', 1.)
-            f_hcd = utils.sinc(self._kp() * L0)
-        else:
-            raise ValueError(f'Unknown hcd model {self.hcd_model}. '
-                             "Choose from ['Rogers', 'fvoigt', 'sinc']")
-
-        bias_eff = bias + bias_hcd * f_hcd
-        beta_eff = (bias * beta + bias_hcd * beta_hcd * f_hcd) / bias_eff
-        return bias_eff, beta_eff
+            return utils.sinc(self._kp() * L0)
+        raise ValueError(f'Unknown hcd model {self.hcd_model}. '
+                         "Choose from ['Rogers', 'fvoigt', 'sinc']")
 
     def compute_peak_nl(self, params):
         """BAO peak non-linear broadening (reference:
