@@ -190,9 +190,12 @@ def find_file(path):
         pkg_path.parents[0] / 'tests' / input_path,
         pkg_path.parents[0] / input_path,
     ]
-    # Reference checkout (read-only), used for parity fixtures only
+    # Reference checkout (read-only), used for parity fixtures only.
+    # VEGA_TPU_NO_REFERENCE=1 forbids the fallback (self-containment
+    # tests); the shipped assets in vega_tpu/models/ already cover all
+    # standard data (see scripts/vendor_model_data.py).
     ref = Path('/root/reference')
-    if ref.is_dir():
+    if ref.is_dir() and os.environ.get('VEGA_TPU_NO_REFERENCE') != '1':
         candidates += [
             ref / 'vega' / 'models' / input_path,
             ref / 'tests' / input_path,
