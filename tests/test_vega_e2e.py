@@ -40,11 +40,21 @@ def test_log_lik_parity(vega):
 
 def test_minimize_parity(vega):
     vega.minimize()
-    # The bestfit chi^2 inherits the ~1e-5 absolute model-vector
-    # difference from the FFTLog conventions; the reference asserts
-    # isclose at 1e-9 relative against its own implementation.
-    assert vega.bestfit.fmin.fval == pytest.approx(
-        REFERENCE_BESTFIT_CHI2, abs=5e-4)
+    fval = vega.bestfit.fmin.fval
+    # The reference value is iminuit MIGRAD's stopping point, which its
+    # EDM criterion only guarantees to be within ~0.002*tol*errordef =
+    # 2e-4 in chi^2 ABOVE the true minimum of the model (iminuit docs;
+    # reference minimizer.py:67-98 uses default tolerance). Our
+    # L-BFGS-B + exact-gradient fit converges the same chi^2 function to
+    # ~1e-11 (verified: two different FFTLog paddings land within 3e-11
+    # of each other at 0.64085992030...), so the correct parity check is
+    # two-sided: we must land BELOW the reference's stopping point, by no
+    # more than the MIGRAD EDM window. chi^2-FUNCTION parity at fixed
+    # parameters is separately pinned to ~5e-10 relative by
+    # test_log_lik_parity.
+    assert fval < REFERENCE_BESTFIT_CHI2 + 1e-8
+    assert fval > REFERENCE_BESTFIT_CHI2 - 2.5e-4
+    assert fval == pytest.approx(0.64085992030, abs=5e-8)
     assert vega.bestfit.fmin.is_valid
 
 
