@@ -68,3 +68,18 @@ def run_vega(config_path):
         plt.close(vega.plots.fig)
 
     return vega
+
+
+def main(argv=None):
+    """Console entry: run_vega <main.ini> (reference: bin/run_vega.py)."""
+    import argparse
+    parser = argparse.ArgumentParser(description='Run a vega_tpu fit')
+    parser.add_argument('config', type=str, help='path to main.ini')
+    args = parser.parse_args(argv)
+    run_vega(args.config)
+    return 0
+
+
+if __name__ == '__main__':
+    import sys
+    sys.exit(main())
