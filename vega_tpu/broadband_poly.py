@@ -131,6 +131,32 @@ class BroadbandPolynomials:
             bb_total = 1. if 'mul' in pos_type else 0.
         return bb_total
 
+    def compute_add_terms(self, params, position):
+        """Additive broadband as factored [(coeff, column)] terms — the
+        polynomial is linear in its coefficient parameters, so each
+        design-matrix column becomes one basis term (see
+        vega_tpu/factored.py). Returns None when a non-linear term
+        (broadband_sky) has sampled parameters and the factored form
+        cannot express it."""
+        from .factored import RecordingParams, has_tracer
+
+        pos_type = f'{position}-add'
+        coords = (self.model_coordinates if position == 'pre'
+                  else self.dist_model_coordinates)
+        terms = []
+        for term in self.bb_terms[pos_type]:
+            if term['func'] == 'broadband':
+                design, names = self._designs[(pos_type, term['name'])]
+                for j, name in enumerate(names):
+                    terms.append((params[name], design[:, j]))
+            else:
+                rec = RecordingParams(params)
+                vec = self._compute_broadband_sky(term['name'], rec, coords)
+                if rec.traced():
+                    return None
+                terms.append((1.0, vec))
+        return terms
+
     @staticmethod
     def _compute_broadband_sky(bb_term_name, params, coordinates):
         """Gaussian sky-residual broadband (reference:

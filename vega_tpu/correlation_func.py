@@ -96,24 +96,74 @@ class CorrelationFunction:
     # ------------------------------------------------------------------
     def compute(self, pk, pk_lin, pktoxi_obj, params):
         """xi model for the input P(k); returns (xi, bad_flag)
-        (reference: correlation_func.py:117-161)."""
+        (reference: correlation_func.py:117-161).
+
+        A FactoredXi from the transform stays factored through the
+        multiplicative and additive stages when the parameters those
+        stages actually read are not sampled (the RecordingParams
+        classification); any traced stage densifies first, preserving
+        the dense pipeline's values exactly."""
+        from .factored import (FactoredXi, RecordingParams, densify,
+                               has_tracer)
+
         xi, rescaled_r, rescaled_mu, bad = self.compute_core(
             pk, pktoxi_obj, params)
 
-        xi = xi * self.compute_bias_evol(params)
-        xi = xi * self.xi_growth
+        rec = RecordingParams(params)
+        evol = self.compute_bias_evol(rec)
+        if isinstance(xi, FactoredXi) and rec.traced():
+            xi = xi.dense()
+        if isinstance(xi, FactoredXi):
+            xi = xi.mul_vec(evol * jnp.asarray(self.xi_growth))
+        else:
+            xi = xi * evol
+            xi = xi * self.xi_growth
 
         if self.radiation_flag and not bool(params['peak']):
-            xi = xi + self.compute_qso_radiation(params, rescaled_r, rescaled_mu)
+            if isinstance(xi, FactoredXi):
+                # strength is linear; the shape reads the other three
+                # radiation parameters (and the rescaled coordinates,
+                # concrete here since xi stayed factored)
+                rad_pars = dict(params)
+                rad_pars['qso_rad_strength'] = 1.0
+                rec_rad = RecordingParams(rad_pars)
+                shape = self.compute_qso_radiation(rec_rad, rescaled_r,
+                                                   rescaled_mu)
+                if rec_rad.traced():
+                    xi = xi.dense() + params['qso_rad_strength'] * shape
+                else:
+                    xi = xi.add_vec(shape, coeff=params['qso_rad_strength'])
+            else:
+                xi = xi + self.compute_qso_radiation(params, rescaled_r,
+                                                     rescaled_mu)
 
         if self.relativistic_flag:
-            xi = xi + self.compute_xi_relativistic(pk_lin, pktoxi_obj, params)
+            term = self.compute_xi_relativistic(pk_lin, pktoxi_obj, params)
+            xi = densify(xi) + term if isinstance(xi, FactoredXi) else xi + term
 
         if self.asymmetry_flag:
-            xi = xi + self.compute_xi_asymmetry(pk_lin, pktoxi_obj, params)
+            term = self.compute_xi_asymmetry(pk_lin, pktoxi_obj, params)
+            xi = densify(xi) + term if isinstance(xi, FactoredXi) else xi + term
 
         if self.uv_shotnoise_flag:
-            xi = xi + self.compute_uv_shotnoise(params, rescaled_r, rescaled_mu)
+            # amplitude (bias_gamma^2 * amp * lambda_uv) is linear; the
+            # shape reads lambda_uv and possibly the rescaled coords
+            if isinstance(xi, FactoredXi) and not has_tracer(
+                    params['lambda_uv']):
+                lam = params['lambda_uv']
+                r = (jnp.sqrt(rescaled_r ** 2 + rescaled_mu ** 2)
+                     if self._rescale_coords_systematics
+                     else jnp.asarray(self._r))
+                shape = lam / r * self.uv_A(r / lam)
+                if 'bias_gamma' in params:
+                    bias_gamma = params['bias_gamma']
+                else:
+                    bias_gamma = params['bias_gamma_e']
+                amp = bias_gamma ** 2 * params['uv_shotnoise_amp']
+                xi = xi.add_vec(shape, coeff=amp)
+            else:
+                xi = densify(xi) + self.compute_uv_shotnoise(
+                    params, rescaled_r, rescaled_mu)
 
         return xi, bad
 

@@ -274,9 +274,19 @@ class Metals:
             if 'growth_rate' in local_pars and self.growth_rate is not None:
                 local_pars['growth_rate'] = self.growth_rate
 
+        import os
+        from .factored import FactoredXi, RecordingParams, has_tracer
+
         pair_scalars = self._pair_weights_and_betas(local_pars)
         xi_metals = jnp.zeros(self.size)
         bad = jnp.asarray(False)
+
+        # Factored accumulation (see vega_tpu/factored.py): active only
+        # inside a trace, like the FactoredPk fast path
+        factored = None
+        if (os.environ.get('VEGA_TPU_FACTORED', '1') == '1'
+                and has_tracer(*local_pars.values())):
+            factored = {'coeffs': [], 'rows': []}
 
         for plan in self._stacked_plans:
             hashes = plan['hashes']
@@ -289,10 +299,14 @@ class Metals:
             alpha2 = jnp.stack([pair_scalars[h][4] for h in hashes])
 
             # Shared (mu_k, k) grid: pk_lin times every factor that is
-            # identical across the class (arinyo via the class exponent)
+            # identical across the class (arinyo via the class exponent).
+            # The recording view classifies the grid static when none of
+            # the parameters these factors read is sampled — the factored
+            # fast path below then applies (see vega_tpu/factored.py).
+            rec_shared = RecordingParams(local_pars)
             pk_obj = plan['pk_rep']
             shared, shared_bad = self._class_shared_factors(
-                pk_obj, local_pars)
+                pk_obj, rec_shared)
             bad = bad | shared_bad
             grid = jnp.broadcast_to(
                 jnp.asarray(pk_lin),
@@ -302,7 +316,7 @@ class Metals:
             if pk_obj.small_scale_nl is not None \
                     and 'arinyo' in pk_obj.small_scale_nl \
                     and plan['arinyo_exp'] != 0.0:
-                dnl, dnl_bad = pk_obj.compute_dnl_arinyo(local_pars)
+                dnl, dnl_bad = pk_obj.compute_dnl_arinyo(rec_shared)
                 bad = bad | dnl_bad
                 if plan['arinyo_exp'] == 1.0:
                     grid = grid * dnl
@@ -323,9 +337,6 @@ class Metals:
 
             s_p = beta1 + beta2
             q_p = beta1 * beta2
-            coeffs = jnp.stack([jnp.ones_like(s_p), s_p, q_p])  # (3, p)
-            xi_knots = jnp.einsum('mp,mli->pli', coeffs, t_m)
-            m_knots = jnp.einsum('mp,mli->pli', coeffs, d_m)
 
             # Rescaled coordinates (ap = at = 1 for metals without
             # metal-scaling; reference: scale_parameters.py:56-57)
@@ -343,12 +354,61 @@ class Metals:
                                       1.0))
 
             from .ops.spline import spline_eval
+            from .pktoxi import legendre
+
+            alphas = [pair_scalars[h][3] for h in hashes] \
+                + [pair_scalars[h][4] for h in hashes]
+            factorable = (factored is not None
+                          and not rec_shared.traced()
+                          and not has_tracer(drp, *alphas))
+
+            if factorable:
+                # Keep the (3, p) moment x pair structure unbatched:
+                # spline + Legendre + z-evolution + metal matrices act on
+                # parameter-independent moment vectors; the per-eval work
+                # is the coefficient scalars only.
+                vals, oob = spline_eval(
+                    pktoxi_obj.logr_knots, t_m[:, :, None, :],
+                    d_m[:, :, None, :], log_r[None, :, :])   # (3,l,p,n)
+                bad = bad | jnp.any(
+                    jnp.reshape(oob, log_r.shape) & mask)
+                leg = jnp.stack([legendre(ell, resc_mu)
+                                 for ell in pktoxi_obj.ell_vals])  # (l,p,n)
+                s_mpn = jnp.einsum('mlpn,lpn->mpn', vals, leg)
+                s_mpn = jnp.where(mask[None, :, :], s_mpn, 0.)
+                rel_z = jnp.asarray(resolve(plan['rel_z']))
+                growth = jnp.asarray(resolve(plan['growth']))
+                evol = rel_z ** jnp.asarray(alphas[:len(hashes)])[:, None] \
+                    * rel_z ** jnp.asarray(alphas[len(hashes):])[:, None]
+                s_mpn = s_mpn * (evol * growth)[None, :, :]
+
+                coeff_mp = [jnp.ones_like(s_p), s_p, q_p]   # (3 of (p,))
+                for i, h in enumerate(hashes):
+                    rows = jnp.stack([
+                        self.apply_metal_matrix(s_mpn[m, i], h)
+                        for m in range(3)])                  # (3, n)
+                    for m in range(3):
+                        factored['coeffs'].append(
+                            weights[i] * coeff_mp[m][i])
+                    factored['rows'].append(rows)
+                continue
+
+            # This plan cannot factor: fold any factored contributions
+            # back into the dense accumulator and stay dense
+            if factored is not None and factored['rows']:
+                xi_metals = xi_metals + FactoredXi(
+                    factored['coeffs'],
+                    jnp.concatenate(factored['rows'])).dense()
+            factored = None
+            coeffs = jnp.stack([jnp.ones_like(s_p), s_p, q_p])  # (3, p)
+            xi_knots = jnp.einsum('mp,mli->pli', coeffs, t_m)
+            m_knots = jnp.einsum('mp,mli->pli', coeffs, d_m)
+
             vals, oob = spline_eval(
                 pktoxi_obj.logr_knots, xi_knots, m_knots,
                 log_r[:, None, :])                           # (p, l, n)
             bad = bad | jnp.any(oob[:, 0, :] & mask)
 
-            from .pktoxi import legendre
             leg = jnp.stack([legendre(ell, resc_mu)
                              for ell in pktoxi_obj.ell_vals])  # (l, p, n)
             xi_stack = jnp.einsum('pln,lpn->pn', vals, leg)
@@ -368,6 +428,9 @@ class Metals:
                 contributions.append(weights[i] * xi_i)
             xi_metals = xi_metals + sum(contributions)
 
+        if factored is not None and factored['rows']:
+            return FactoredXi(factored['coeffs'],
+                              jnp.concatenate(factored['rows'])), bad
         return xi_metals, bad
 
     def _class_shared_factors(self, pk_obj, local_pars):

@@ -117,12 +117,14 @@ class Model:
             self.pk[component]['core'] = np.asarray(pk_model)
             self.xi[component]['core'] = np.asarray(xi_model)
 
+        from .factored import FactoredXi, RecordingParams, densify
+
         if self._corr_item.has_metals:
             if self.no_metal_decomp and xi_metals is not None:
-                xi_model = xi_model + xi_metals
+                xi_model = self._add_xi(xi_model, xi_metals)
             elif not self.no_metal_decomp:
                 xi_m, m_bad = self.metals.compute(pars, pk_lin, component)
-                xi_model = xi_model + xi_m
+                xi_model = self._add_xi(xi_model, xi_m)
                 bad = bad | m_bad
                 if self.save_components and _concrete(xi_m):
                     self.pk[component].update(self.metals.pk[component])
@@ -131,25 +133,78 @@ class Model:
                         self.metals.xi_distorted[component])
 
         if self._instrumental_systematics_flag and component != 'peak':
-            xi_model = xi_model + \
-                self.Xi_core.compute_desi_instrumental_systematics(
-                    pars, self._corr_item.data_coordinates.rp_binsize)
+            # amplitude * static template — a natural factored term
+            amp = pars.get('desi_inst_sys_amp', None)
+            syst_pars = pars if amp is None else {'desi_inst_sys_amp': 1.0}
+            template = self.Xi_core.compute_desi_instrumental_systematics(
+                syst_pars, self._corr_item.data_coordinates.rp_binsize)
+            if isinstance(xi_model, FactoredXi):
+                xi_model = xi_model.add_vec(
+                    template, coeff=1.0 if amp is None else amp)
+            else:
+                xi_model = xi_model + (template if amp is None
+                                       else amp * template)
 
         if self.broadband is not None:
-            xi_model = xi_model * self.broadband.compute(pars, 'pre-mul')
-            xi_model = xi_model + self.broadband.compute(pars, 'pre-add')
+            xi_model = self._apply_broadband(xi_model, pars, 'pre')
 
         if self._dist_mat is not None:
-            xi_model = jnp.asarray(resolve(self._dist_mat)) @ xi_model
+            dmat = jnp.asarray(resolve(self._dist_mat))
+            if isinstance(xi_model, FactoredXi):
+                xi_model = xi_model.matmul(dmat)
+            else:
+                xi_model = dmat @ xi_model
 
         if self.broadband is not None:
-            xi_model = xi_model * self.broadband.compute(pars, 'post-mul')
-            xi_model = xi_model + self.broadband.compute(pars, 'post-add')
+            xi_model = self._apply_broadband(xi_model, pars, 'post')
 
         if self.save_components and _concrete(xi_model):
             self.xi_distorted[component]['core'] = np.asarray(xi_model)
 
         return xi_model, bad
+
+    @staticmethod
+    def _add_xi(a, b):
+        """Add two xi values, keeping the factored form when both sides
+        carry one (mixed forms densify the factored side)."""
+        from .factored import FactoredXi
+        if isinstance(a, FactoredXi) and isinstance(b, FactoredXi):
+            return a + b
+        if isinstance(a, FactoredXi):
+            return a.dense() + b
+        if isinstance(b, FactoredXi):
+            return a + b.dense()
+        return a + b
+
+    def _apply_broadband(self, xi_model, pars, position):
+        """Multiplicative then additive broadband at one position
+        (pre/post distortion), preserving the factored form: the
+        multiplicative polynomial is parameter-static unless its
+        coefficients are sampled, and the additive polynomial is linear
+        in its coefficients (design-matrix columns become terms)."""
+        from .factored import FactoredXi, RecordingParams
+
+        if isinstance(xi_model, FactoredXi):
+            rec = RecordingParams(pars)
+            bb_mul = self.broadband.compute(rec, f'{position}-mul')
+            if rec.traced():
+                xi_model = xi_model.dense() * bb_mul
+            elif not (isinstance(bb_mul, float) and bb_mul == 1.):
+                xi_model = xi_model.mul_vec(
+                    bb_mul * jnp.ones(xi_model.V.shape[1]))
+            if isinstance(xi_model, FactoredXi):
+                terms = self.broadband.compute_add_terms(pars, position)
+                if terms is None:
+                    xi_model = (xi_model.dense()
+                                + self.broadband.compute(pars,
+                                                         f'{position}-add'))
+                else:
+                    xi_model = xi_model.add_terms(terms)
+                return xi_model
+
+        xi_model = xi_model * self.broadband.compute(pars, f'{position}-mul')
+        xi_model = xi_model + self.broadband.compute(pars, f'{position}-add')
+        return xi_model
 
     def compute(self, pars, pk_full, pk_smooth):
         """Peak/smooth decomposition (reference: model.py:157-187).
@@ -179,7 +234,12 @@ class Model:
             pars, pk_smooth, 'smooth', xi_metals=xi_metals,
             pk_model=pk_smooth_grid)
 
-        xi_full = pars['bao_amp'] * xi_peak + xi_smooth
+        from .factored import FactoredXi
+        if isinstance(xi_peak, FactoredXi):
+            xi_peak = xi_peak.scale(pars['bao_amp'])
+        else:
+            xi_peak = pars['bao_amp'] * xi_peak
+        xi_full = self._add_xi(xi_peak, xi_smooth)
         return xi_full, bad_peak | bad_metals | bad_smooth
 
     def compute_direct(self, pars, pk_full):

@@ -153,8 +153,14 @@ class PktoXi:
         A FactoredPk input pushes the (linear) projection + FFTLog +
         spline-solve operators through its static basis grids, so under
         vmap the grid-sized work runs once per batch and each evaluation
-        is a (n_t) x (n_t, n_ell, n_r) contraction.
+        is a (n_t) x (n_t, n_ell, n_r) contraction. When the rescaled
+        coordinates are additionally parameter-independent (ap/at/drp
+        not sampled) the spline + Legendre(mu) evaluation is linear too
+        and the result stays factored (FactoredXi): the per-evaluation
+        work downstream collapses entirely onto the coefficients (see
+        vega_tpu/factored.py).
         """
+        from .factored import FactoredXi, has_tracer
         from .power_spectrum import FactoredPk
         if isinstance(pk, FactoredPk):
             basis = jnp.stack(pk.bases)                    # (t, muk, k)
@@ -164,6 +170,21 @@ class PktoXi:
                                  resolve(self.fft_ops), pk_ells_t)
             mknots_t = jnp.einsum('lij,tlj->tli',
                                   resolve(self.fft_sd_ops), pk_ells_t)
+
+            if (single_ell < 0 and not has_tracer(r_grid, mu_grid)
+                    and not _use_pallas_spline()):
+                mask = r_grid != 0
+                safe_r = jnp.where(mask, r_grid, 1.0)
+                log_r = jnp.log(safe_r)
+                vals, oob = spline_eval(self.logr_knots, knots_t,
+                                        mknots_t, log_r)   # (t, l, n)
+                legendre_mu = jnp.stack([legendre(ell, mu_grid)
+                                         for ell in self.ell_vals])
+                rows = jnp.einsum('tln,ln->tn', vals, legendre_mu)
+                rows = jnp.where(mask[None, :], rows, 0.0)
+                oob_any = jnp.any(jnp.reshape(oob, mask.shape) & mask)
+                return FactoredXi(pk.coeffs, rows), oob_any
+
             theta = jnp.stack(pk.coeffs)                   # (t,)
             xi_knots = jnp.einsum('t,tli->li', theta, knots_t)
             m_knots = jnp.einsum('t,tli->li', theta, mknots_t)

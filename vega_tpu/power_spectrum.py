@@ -21,44 +21,12 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from . import utils
+from .factored import RecordingParams as _RecordingParams
+from .factored import has_tracer as _has_tracer
 from .statics import register as register_static, resolve
-
-
-def _has_tracer(*vals):
-    """True if any value is a jax tracer (i.e. depends on a sampled
-    parameter in the current trace; fixed config parameters stay Python
-    floats all the way through `_get_lcl_prms`)."""
-    return any(isinstance(v, jax.core.Tracer) for v in vals)
-
-
-class _RecordingParams:
-    """Read-only params view recording every accessed value, so a factor
-    can be classified static (none of the parameters it actually read is
-    traced) without hard-coding its parameter list."""
-
-    def __init__(self, params):
-        self._params = params
-        self.accessed = []
-
-    def __getitem__(self, key):
-        val = self._params[key]
-        self.accessed.append(val)
-        return val
-
-    def get(self, key, default=None):
-        val = self._params.get(key, default)
-        self.accessed.append(val)
-        return val
-
-    def __contains__(self, key):
-        return key in self._params
-
-    def traced(self):
-        return _has_tracer(*self.accessed)
 
 
 class FactoredPk:

@@ -217,8 +217,14 @@ class VegaInterface:
     # ------------------------------------------------------------------
     # Model + chi2 graph
     # ------------------------------------------------------------------
-    def _model_graph(self, local_params, direct_pk=None):
-        """Traceable model for all components; returns (model_cf, bad)."""
+    def _model_graph(self, local_params, direct_pk=None,
+                     keep_factored=False):
+        """Traceable model for all components; returns (model_cf, bad).
+
+        keep_factored=True (the chi^2 graph) preserves FactoredXi values
+        so the quadratic-form evaluation can hoist the basis work out of
+        vmapped batches; every other caller gets dense vectors."""
+        from .factored import densify
         model_cf = {}
         bad = jnp.asarray(False)
         for name in self.corr_items:
@@ -229,7 +235,7 @@ class VegaInterface:
             else:
                 cf, cf_bad = self.models[name].compute_direct(
                     local_params, direct_pk)
-            model_cf[name] = cf
+            model_cf[name] = cf if keep_factored else densify(cf)
             bad = bad | cf_bad
         return model_cf, bad
 
@@ -266,9 +272,14 @@ class VegaInterface:
         cov_scales: dict name -> inverse-covariance scale factor (1 unless
         Monte-Carlo rescaling is active).
         """
+        from .factored import FactoredXi, densify
+
         self._ensure_static_refs()
         local_params = self._get_lcl_prms(sample_params)
-        model_cf, bad = self._model_graph(local_params)
+        keep_factored = (not self.marginalize_in_fit
+                         and not self._use_global_cov)
+        model_cf, bad = self._model_graph(local_params,
+                                          keep_factored=keep_factored)
 
         marg_coeff = {}
         if self.marginalize_in_fit:
@@ -280,7 +291,7 @@ class VegaInterface:
 
         if self._use_global_cov:
             full_model = jnp.concatenate(
-                [model_cf[name] for name in self.corr_items])
+                [densify(model_cf[name]) for name in self.corr_items])
             diff = data_vecs['_global'] - full_model[self.full_model_mask]
             inv_cov = jnp.asarray(resolve(self._global_invcov_ref))
             chi2 = diff @ (inv_cov @ diff)
@@ -288,10 +299,28 @@ class VegaInterface:
             chi2 = 0.
             for name in self.corr_items:
                 corr_data = self.data[name]
-                model_corr = model_cf[name][corr_data.model_mask]
-                diff = data_vecs[name] - model_corr
                 inv_cov = jnp.asarray(resolve(self._invcov_refs[name]))
-                chi2 = chi2 + cov_scales[name] * (diff @ (inv_cov @ diff))
+                if isinstance(model_cf[name], FactoredXi):
+                    # Quadratic form in the factored coefficients:
+                    #   chi2 = d'Cinv d - 2 c.(W d) + c.(W V').c
+                    # with W = V_masked Cinv. Every n-sized or (n, n)-
+                    # sized operand is parameter-independent, so under
+                    # vmap the whole prefix hoists out of the batch and
+                    # each evaluation costs O(T^2). Exact reassociation
+                    # of diff' Cinv diff.
+                    fxi = model_cf[name].mask(corr_data.model_mask)
+                    c = fxi.coeff_vector()
+                    w_mat = fxi.V @ inv_cov             # (T, nm)
+                    a_mat = w_mat @ fxi.V.T             # (T, T)
+                    d = data_vecs[name]
+                    chi2_corr = (d @ (inv_cov @ d)
+                                 - 2.0 * (c @ (w_mat @ d))
+                                 + c @ (a_mat @ c))
+                else:
+                    model_corr = model_cf[name][corr_data.model_mask]
+                    diff = data_vecs[name] - model_corr
+                    chi2_corr = diff @ (inv_cov @ diff)
+                chi2 = chi2 + cov_scales[name] * chi2_corr
 
         chi2 = chi2 + self._prior_chi2_graph(local_params)
         chi2 = jnp.where(bad, PENALTY_CHI2, chi2)
@@ -832,8 +861,9 @@ class VegaInterface:
                     xi_smooth, _ = model.Xi_core.compute(
                         pk_s, pk_smooth, model.PktoXi, pars)
                     if model._corr_item.has_metals:
+                        from .factored import densify
                         xi_m, _ = model.metals.compute(pars, pk_full, 'full')
-                        xi_smooth = xi_smooth + xi_m
+                        xi_smooth = xi_smooth + densify(xi_m)
 
                     if model._dist_mat is not None:
                         dm = jnp.asarray(resolve(model._dist_mat))
