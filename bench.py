@@ -17,11 +17,12 @@ core (BASELINE.md quotes no number; this is a measured-order estimate of
 the cached path, generous to the reference). vs_baseline = value / 10.
 
 Measured on the v5e (2026-08-16): f64 (parity grade, chi^2 agreement
-~1e-9 relative) 282 evals/s/chip at batch 512 (chunked); f32 mode
+~1e-9 relative) 5737 evals/s/chip at batch 512 via the factored
+linear-model path + collapsed quadratic form (vega_tpu/factored.py;
+docs/performance.md has the ablation: 282 dense, 769 factored-Kaiser,
+576 in-trace quadratic form). f32 dense mode
 (VEGA_TPU_BENCH_PRECISION=f32) 2094 evals/s/chip. The default reported
-number is the accuracy-qualified f64 one. HBM limits the vmapped batch
-(each element carries its own (mu_k, k) factor grids): <= ~192 in f64,
-~512 in f32 on a 16 GB chip.
+number is the accuracy-qualified f64 one.
 """
 
 import contextlib

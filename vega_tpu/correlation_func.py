@@ -170,6 +170,8 @@ class CorrelationFunction:
     def compute_core(self, pk, pktoxi_obj, params):
         """Hankel transform + AP rescaling (reference:
         correlation_func.py:163-198)."""
+        from .factored import has_tracer
+
         delta_rp = 0.
         if self._delta_rp_name is not None:
             delta_rp = params.get(self._delta_rp_name, 0.)
@@ -180,8 +182,9 @@ class CorrelationFunction:
         rescaled_r, rescaled_mu = self._rescale_coords(
             self._r, self._mu, ap, at, delta_rp)
 
-        xi, bad = pktoxi_obj.compute(rescaled_r, rescaled_mu, pk,
-                                     self._multipole)
+        xi, bad = pktoxi_obj.compute(
+            rescaled_r, rescaled_mu, pk, self._multipole,
+            coords_param_free=not has_tracer(ap, at, delta_rp))
         return xi, rescaled_r, rescaled_mu, bad
 
     @staticmethod

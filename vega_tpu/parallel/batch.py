@@ -79,15 +79,15 @@ class BatchedLikelihood:
                      self.vega._current_data_vecs().items()}
         cov_scales = self.vega._current_cov_scales()
 
-        def single(params, statics):
+        def single(params, statics, collapsed):
             return self.vega._chi2_graph_bound(
-                params, data_vecs, cov_scales, statics)[0]
+                params, data_vecs, cov_scales, statics, collapsed)[0]
 
-        def chunked(param_chunks, statics):
+        def chunked(param_chunks, statics, collapsed):
             # param_chunks: dict of (n_chunks, chunk_total) arrays
             def one_chunk(chunk_params):
-                return jax.vmap(single, in_axes=(0, None))(
-                    chunk_params, statics)
+                return jax.vmap(single, in_axes=(0, None, None))(
+                    chunk_params, statics, collapsed)
             out = jax.lax.map(one_chunk, param_chunks)
             return out.reshape(-1)
 
@@ -96,7 +96,7 @@ class BatchedLikelihood:
         replicated = NamedSharding(self.mesh, P())
         fn = jax.jit(
             chunked,
-            in_shardings=(chunk_sharding, replicated),
+            in_shardings=(chunk_sharding, replicated, replicated),
             out_shardings=flat_sharding,
         )
         self._jit_cache[key] = fn
@@ -119,8 +119,9 @@ class BatchedLikelihood:
             arr, _ = _pad_to_multiple(v, chunk_total)
             padded[k] = arr.reshape(-1, chunk_total)
         fn = self._build(names)
+        collapsed = self.vega.get_collapsed(names)
         with self.mesh:
-            out = fn(padded, STATICS.device_tree())
+            out = fn(padded, STATICS.device_tree(), collapsed)
         return np.asarray(out)[:n]
 
     def log_lik(self, param_batches):
@@ -180,10 +181,10 @@ def _spd_inv(a):
 
 def _newton_minimize_batched(chi2_of, x0, lo, hi, batch_inputs, mesh,
                              axis_name, max_iterations,
-                             chunk_per_device=None):
+                             chunk_per_device=None, collapsed=None):
     """Shared batched damped-Newton minimizer.
 
-    chi2_of(x, batch_elem, statics) -> scalar; batch_inputs is a pytree
+    chi2_of(x, batch_elem, statics, collapsed) -> scalar; batch_inputs is a pytree
     whose leaves carry the (padded) batch axis — mock data vectors for
     the Monte-Carlo engine, fixed scan-parameter values for the chi^2
     scan. Every iteration evaluates the exact jax gradient + Hessian
@@ -202,12 +203,14 @@ def _newton_minimize_batched(chi2_of, x0, lo, hi, batch_inputs, mesh,
         chunk_per_device = int(os.environ.get(
             'VEGA_TPU_FIT_CHUNK_PER_DEVICE', 8))
 
+    if collapsed is None:
+        collapsed = {}
     grad_fn = jax.grad(chi2_of)
     hess_fn = jax.hessian(chi2_of)
 
-    def newton_step(x, batch_elem, statics):
-        g = grad_fn(x, batch_elem, statics)
-        h = hess_fn(x, batch_elem, statics)
+    def newton_step(x, batch_elem, statics, co):
+        g = grad_fn(x, batch_elem, statics, co)
+        h = hess_fn(x, batch_elem, statics, co)
         # Levenberg damping for robustness far from the minimum
         # (max(n_free, 1) keeps the all-params-scanned case finite)
         damp = 1e-6 * jnp.trace(h) / max(n_free, 1)
@@ -215,7 +218,7 @@ def _newton_minimize_batched(chi2_of, x0, lo, hi, batch_inputs, mesh,
         x_new = jnp.clip(x - step, lo, hi)
         return x_new, g, h
 
-    def fit_one(batch_elem, statics):
+    def fit_one(batch_elem, statics, co):
         # while_loop instead of a fixed-length scan: Newton converges in
         # ~10-20 steps, so iterating to the max_iterations cap would
         # waste ~10x device work. Under vmap the loop runs until every
@@ -227,14 +230,14 @@ def _newton_minimize_batched(chi2_of, x0, lo, hi, batch_inputs, mesh,
 
         def body(carry):
             x, _, it = carry
-            x_new, g, _ = newton_step(x, batch_elem, statics)
+            x_new, g, _ = newton_step(x, batch_elem, statics, co)
             return (x_new, g, it + 1)
 
         x, g, _ = jax.lax.while_loop(
             cond, body, (x0, jnp.full(n_free, jnp.inf), 0))
         # curvature at the converged point (the loop's h lags one step)
-        h = hess_fn(x, batch_elem, statics)
-        chi2 = chi2_of(x, batch_elem, statics)
+        h = hess_fn(x, batch_elem, statics, co)
+        chi2 = chi2_of(x, batch_elem, statics, co)
         cov = 2.0 * _spd_inv(h)
         errors = jnp.sqrt(jnp.clip(jnp.diag(cov), 0, None))
         valid = jnp.all(jnp.abs(g) < 1e-3)
@@ -257,9 +260,10 @@ def _newton_minimize_batched(chi2_of, x0, lo, hi, batch_inputs, mesh,
 
     chunked_inputs = jax.tree.map(pad_and_chunk, batch_inputs)
 
-    def run(batch, statics):
+    def run(batch, statics, co):
         def one_chunk(chunk):
-            return jax.vmap(fit_one, in_axes=(0, None))(chunk, statics)
+            return jax.vmap(fit_one, in_axes=(0, None, None))(
+                chunk, statics, co)
         return jax.lax.map(one_chunk, batch)
 
     chunk_sharding = NamedSharding(mesh, P(None, axis_name))
@@ -267,10 +271,10 @@ def _newton_minimize_batched(chi2_of, x0, lo, hi, batch_inputs, mesh,
     fit_batched = jax.jit(
         run,
         in_shardings=(jax.tree.map(lambda _: chunk_sharding,
-                                   chunked_inputs), replicated),
+                                   chunked_inputs), replicated, replicated),
     )
     with mesh:
-        out = fit_batched(chunked_inputs, STATICS.device_tree())
+        out = fit_batched(chunked_inputs, STATICS.device_tree(), collapsed)
     # merge chunks and strip the internal padding back to n rows
     # (explicit leading dim: reshape(-1) is ambiguous for zero-size
     # leaves, e.g. x of shape (B, 0) when every parameter is scanned)
@@ -321,16 +325,17 @@ def batched_chi2_scan(vega, grids, sample_params=None, mesh=None,
                  for k, v in vega._current_data_vecs().items()}
     cov_scales = vega._current_cov_scales()
 
-    def chi2_of(x, point, statics):
+    def chi2_of(x, point, statics, collapsed):
         params = {n: x[i] for i, n in enumerate(free_names)}
         params.update({n: point[i] for i, n in enumerate(scan_names)})
         return vega._chi2_graph_bound(params, data_vecs, cov_scales,
-                                      statics)[0]
+                                      statics, collapsed)[0]
 
     padded, _ = _pad_to_multiple(scan_vals, mesh.devices.size)
     x, _, _, chi2, valid = _newton_minimize_batched(
         chi2_of, x0, lo, hi, jnp.asarray(padded), mesh, axis_name,
-        max_iterations)
+        max_iterations,
+        collapsed=vega.get_collapsed(free_names + scan_names))
 
     x = np.asarray(x)[:n_points]
     chi2 = np.asarray(chi2)[:n_points]
@@ -412,10 +417,10 @@ class MonteCarloEngine:
         mock_arrays = {k: jnp.asarray(v) for k, v in mocks.items()}
         cov_scales = {name: 1.0 for name in corr_names}
 
-        def chi2_of(x, data_vecs, statics):
+        def chi2_of(x, data_vecs, statics, collapsed):
             params = {n: x[i] for i, n in enumerate(names)}
             return vega._chi2_graph_bound(params, data_vecs, cov_scales,
-                                          statics)[0]
+                                          statics, collapsed)[0]
 
         padded = {}
         for k, v in mock_arrays.items():
@@ -424,7 +429,7 @@ class MonteCarloEngine:
 
         x, errors, cov, chi2, valid = _newton_minimize_batched(
             chi2_of, x0, lo, hi, padded, self.mesh, self.axis_name,
-            max_iterations)
+            max_iterations, collapsed=vega.get_collapsed(names))
 
         sl = slice(0, num_mocks)
         return {

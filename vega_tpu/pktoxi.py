@@ -143,7 +143,8 @@ class PktoXi:
             pk = pk.dense()
         return self.legendre_proj @ pk
 
-    def compute(self, r_grid, mu_grid, pk, single_ell=-1):
+    def compute(self, r_grid, mu_grid, pk, single_ell=-1,
+                coords_param_free=False):
         """Full transform to xi on the (traced) r/mu grids; returns
         (xi, oob_flag) (reference: pktoxi.py:99-163).
 
@@ -160,7 +161,7 @@ class PktoXi:
         work downstream collapses entirely onto the coefficients (see
         vega_tpu/factored.py).
         """
-        from .factored import FactoredXi, has_tracer
+        from .factored import FactoredXi
         from .power_spectrum import FactoredPk
         if isinstance(pk, FactoredPk):
             basis = jnp.stack(pk.bases)                    # (t, muk, k)
@@ -171,7 +172,11 @@ class PktoXi:
             mknots_t = jnp.einsum('lij,tlj->tli',
                                   resolve(self.fft_sd_ops), pk_ells_t)
 
-            if (single_ell < 0 and not has_tracer(r_grid, mu_grid)
+            # coords_param_free comes from the caller's parameter
+            # classification (NOT from tracer-ness of r_grid: under
+            # omnistaging every in-trace array is a tracer even when it
+            # is parameter-independent)
+            if (single_ell < 0 and coords_param_free
                     and not _use_pallas_spline()):
                 mask = r_grid != 0
                 safe_r = jnp.where(mask, r_grid, 1.0)

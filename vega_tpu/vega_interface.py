@@ -264,13 +264,47 @@ class VegaInterface:
                     corr_data.marg_diff2coeff_matrix, 'margc')
         self._static_refs_ready = True
 
-    def _chi2_graph(self, sample_params, data_vecs, cov_scales):
+    def _collapsed_graph(self, sample_params, data_vecs, cov_scales):
+        """Basis-collapse pass: the parameter-independent tensors of the
+        factored chi^2 quadratic form, per correlation.
+
+        Traced with the SAME code and the same sampled-parameter key set
+        as `_chi2_graph`, so the factored term order matches exactly; the
+        outputs only depend on the statics, so jax's dead-code
+        elimination strips all coefficient arithmetic from this graph —
+        and, symmetrically, passing the result back into `_chi2_graph`
+        as `collapsed` strips all basis construction from the per-eval
+        graph. One collapse run per sampled-parameter set replaces the
+        per-call basis work entirely (see vega_tpu/factored.py).
+        """
+        from .factored import FactoredXi
+
+        self._ensure_static_refs()
+        local_params = self._get_lcl_prms(sample_params)
+        if self.marginalize_in_fit or self._use_global_cov:
+            return {}
+        model_cf, _ = self._model_graph(local_params, keep_factored=True)
+        out = {}
+        for name in self.corr_items:
+            if not isinstance(model_cf[name], FactoredXi):
+                continue
+            fxi = model_cf[name].mask(self.data[name].model_mask)
+            inv_cov = jnp.asarray(resolve(self._invcov_refs[name]))
+            w_mat = fxi.V @ inv_cov                  # (T, nm)
+            out[name] = {'W': w_mat, 'A': w_mat @ fxi.V.T}
+        return out
+
+    def _chi2_graph(self, sample_params, data_vecs, cov_scales,
+                    collapsed=None):
         """Traceable chi^2 of the sampled parameters.
 
         data_vecs: dict name -> masked data vector (or the concatenated
         vector under the '_global' key when a global covariance is used).
         cov_scales: dict name -> inverse-covariance scale factor (1 unless
         Monte-Carlo rescaling is active).
+        collapsed: optional precomputed basis-collapse tensors from
+        `_collapsed_graph` (keyed by correlation); when present the
+        basis work drops out of this graph entirely.
         """
         from .factored import FactoredXi, densify
 
@@ -307,11 +341,20 @@ class VegaInterface:
                     # sized operand is parameter-independent, so under
                     # vmap the whole prefix hoists out of the batch and
                     # each evaluation costs O(T^2). Exact reassociation
-                    # of diff' Cinv diff.
+                    # of diff' Cinv diff. With precomputed `collapsed`
+                    # tensors the basis construction is dead code here
+                    # and jax eliminates it from the compiled graph.
                     fxi = model_cf[name].mask(corr_data.model_mask)
                     c = fxi.coeff_vector()
-                    w_mat = fxi.V @ inv_cov             # (T, nm)
-                    a_mat = w_mat @ fxi.V.T             # (T, T)
+                    if collapsed is not None and name in collapsed:
+                        w_mat = collapsed[name]['W']
+                        a_mat = collapsed[name]['A']
+                        assert a_mat.shape == (fxi.n_terms, fxi.n_terms), (
+                            'collapsed tensors do not match the factored '
+                            'term structure — stale collapse cache')
+                    else:
+                        w_mat = fxi.V @ inv_cov         # (T, nm)
+                        a_mat = w_mat @ fxi.V.T         # (T, T)
                     d = data_vecs[name]
                     chi2_corr = (d @ (inv_cov @ d)
                                  - 2.0 * (c @ (w_mat @ d))
@@ -351,9 +394,45 @@ class VegaInterface:
         return chi2
 
     def _chi2_graph_bound(self, sample_params, data_vecs, cov_scales,
-                          statics):
+                          statics, collapsed=None):
         with STATICS.bind(statics):
-            return self._chi2_graph(sample_params, data_vecs, cov_scales)
+            return self._chi2_graph(sample_params, data_vecs, cov_scales,
+                                    collapsed=collapsed)
+
+    def get_collapsed(self, sample_names):
+        """Device-resident basis-collapse tensors for one sampled-
+        parameter set (cached; one jitted collapse run per set).
+
+        The collapse pass costs one model-graph compile + execution, and
+        removes all basis work from every subsequent chi^2 / gradient /
+        Hessian / batched-likelihood graph for this parameter set.
+        """
+        import os
+        key = frozenset(sample_names)
+        if not key or os.environ.get('VEGA_TPU_FACTORED', '1') != '1' \
+                or self.marginalize_in_fit or self._use_global_cov:
+            return {}
+        if not hasattr(self, '_collapsed_cache'):
+            self._collapsed_cache = {}
+        if key not in self._collapsed_cache:
+            self._ensure_static_refs()
+            def collapse_bound(sp, dv, cs, st):
+                with STATICS.bind(st):
+                    return self._collapsed_graph(sp, dv, cs)
+
+            fn = jax.jit(collapse_bound)
+            sample_now = {name: float(self.params.get(name, 0.0))
+                          for name in sample_names}
+            # The collapse tensors are data-independent; dummy data vecs
+            # keep this usable before any MC mock exists
+            dummy_data = {name: jnp.zeros(int(np.sum(
+                self.data[name].data_mask))) for name in self.corr_items}
+            cov_scales = {name: 1.0 for name in self.corr_items}
+            out = fn(sample_now, dummy_data, cov_scales,
+                     STATICS.device_tree())
+            self._collapsed_cache[key] = jax.tree.map(
+                lambda x: x.block_until_ready(), out)
+        return self._collapsed_cache[key]
 
     def _get_jit_chi2(self):
         if self._jit_chi2 is None:
@@ -371,12 +450,12 @@ class VegaInterface:
         if getattr(self, '_jit_chi2_valgrad', None) is None:
             self._ensure_static_refs()
             self._jit_chi2_valgrad = jax.jit(jax.value_and_grad(
-                lambda p, dv, cs, st:
-                self._chi2_graph_bound(p, dv, cs, st)[0]))
+                lambda p, dv, cs, st, co:
+                self._chi2_graph_bound(p, dv, cs, st, co)[0]))
         val, grads = self._jit_chi2_valgrad(
             {k: float(v) for k, v in params.items()},
             self._current_data_vecs_device(), self._current_cov_scales(),
-            STATICS.device_tree())
+            STATICS.device_tree(), self.get_collapsed(params.keys()))
         return float(val), {k: float(v) for k, v in grads.items()}
 
     def chi2_gradient(self, params):
@@ -385,12 +464,12 @@ class VegaInterface:
         if not hasattr(self, '_jit_chi2_grad') or self._jit_chi2_grad is None:
             self._ensure_static_refs()
             self._jit_chi2_grad = jax.jit(jax.grad(
-                lambda p, dv, cs, st:
-                self._chi2_graph_bound(p, dv, cs, st)[0]))
+                lambda p, dv, cs, st, co:
+                self._chi2_graph_bound(p, dv, cs, st, co)[0]))
         grads = self._jit_chi2_grad(
             {k: float(v) for k, v in params.items()},
             self._current_data_vecs_device(), self._current_cov_scales(),
-            STATICS.device_tree())
+            STATICS.device_tree(), self.get_collapsed(params.keys()))
         return {k: float(v) for k, v in grads.items()}
 
     def chi2_hessian(self, params, free_names):
@@ -406,14 +485,15 @@ class VegaInterface:
             self._hess_cache = {}
         key = tuple(sorted(free_names))
         if key not in self._hess_cache:
-            def fn(free_p, fixed_p, dv, cs, statics):
+            def fn(free_p, fixed_p, dv, cs, statics, co):
                 return self._chi2_graph_bound({**fixed_p, **free_p}, dv,
-                                              cs, statics)[0]
+                                              cs, statics, co)[0]
             self._hess_cache[key] = jax.jit(jax.hessian(fn))
 
         hess = self._hess_cache[key](
             free, fixed, self._current_data_vecs_device(),
-            self._current_cov_scales(), STATICS.device_tree())
+            self._current_cov_scales(), STATICS.device_tree(),
+            self.get_collapsed(params.keys()))
         return {n1: {n2: float(hess[n1][n2]) for n2 in free_names}
                 for n1 in free_names}
 
@@ -488,6 +568,10 @@ class VegaInterface:
                 self.models = {}
                 self._jit_model = None
                 self._jit_chi2 = None
+                self._jit_chi2_valgrad = None
+                self._jit_chi2_grad = None
+                self._hess_cache = {}
+                self._collapsed_cache = {}
             for name, corr_item in self.corr_items.items():
                 if run_init:
                     self.models[name] = Model(
@@ -529,7 +613,8 @@ class VegaInterface:
         data_vecs = self._current_data_vecs_device()
         cov_scales = self._current_cov_scales()
         chi2, marg_coeff = self._get_jit_chi2()(
-            sample_params, data_vecs, cov_scales, STATICS.device_tree())
+            sample_params, data_vecs, cov_scales, STATICS.device_tree(),
+            self.get_collapsed(sample_params.keys()))
         chi2 = float(chi2)
 
         if return_marg_coeff:
@@ -630,10 +715,12 @@ class VegaInterface:
         data_vecs = self._current_data_vecs()
         cov_scales = self._current_cov_scales()
         fn = jax.vmap(
-            lambda p, st: self._chi2_graph_bound(p, data_vecs, cov_scales,
-                                                 st)[0],
-            in_axes=(0, None))
-        return np.asarray(jax.jit(fn)(param_batches, STATICS.device_tree()))
+            lambda p, st, co: self._chi2_graph_bound(p, data_vecs,
+                                                     cov_scales, st, co)[0],
+            in_axes=(0, None, None))
+        return np.asarray(jax.jit(fn)(
+            param_batches, STATICS.device_tree(),
+            self.get_collapsed(param_batches.keys())))
 
     def log_lik_batch(self, param_batches):
         chi2 = self.chi2_batch(param_batches)
