@@ -1,0 +1,41 @@
+"""The eBOSS_DR16 example (examples/eBOSS_DR16) end-to-end: config
+generation through BuildConfig, the four-correlation combined fit, and
+the global-covariance variant (reference: examples/eBOSS_DR16/
+main_combined.ini, vega_interface.py:888-954)."""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+EXAMPLE_DIR = Path(__file__).resolve().parents[1] / 'examples' / 'eBOSS_DR16'
+
+
+def _load_example():
+    spec = importlib.util.spec_from_file_location(
+        'dr16_run_synthetic', EXAMPLE_DIR / 'run_synthetic.py')
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_dr16_combined_and_global_cov(tmp_path):
+    ex = _load_example()
+    nt = 12
+
+    mains = ex.build_configs(tmp_path, nt)
+    assert set(mains) == {'auto', 'cross', 'combined'}
+    ex.regenerate_from_truth(tmp_path, mains['combined'], nt)
+
+    values, errors = ex.run_fit('combined', mains['combined'])
+    for par in ('ap', 'at'):
+        assert abs(values[par] - 1.0) < 5 * max(errors[par], 1e-12)
+
+    gcov = ex.make_global_cov(tmp_path, mains['combined'])
+    gmains = ex.build_configs(tmp_path, nt, extension='gcov',
+                              global_cov_file=gcov,
+                              fit_types={'combined': ex.FIT_TYPES['combined']})
+    gvalues, gerrors = ex.run_fit('combined-globalcov', gmains['combined'])
+    # block-diagonal global cov == per-corr covs: same best fit
+    for par in ('ap', 'at', 'bias_LYA', 'beta_LYA'):
+        assert abs(gvalues[par] - values[par]) < 1e-5

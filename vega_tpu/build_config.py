@@ -353,6 +353,11 @@ class BuildConfig:
             for key, item in corr_info['broadband'].items():
                 config['broadband'][key] = item
 
+        # Free-form per-correlation [model] overrides (e.g. the DR16
+        # analysis' old_fftlog / old_growth_func compatibility switches)
+        for key, item in corr_info.get('extra-model', {}).items():
+            config['model'][key] = str(item)
+
         if opt['fullshape_smoothing'] is not None:
             assert opt['fullshape_smoothing'] in ['gauss', 'gauss_iso', 'exp']
             config['model']['fullshape smoothing'] = \
@@ -629,8 +634,8 @@ class BuildConfig:
                                  '"bias_bias_eta"].')
 
         for name in self.corr_names:
-            bias_beta_config = self.fit_info['bias_beta_config'].get(
-                name, 'bias_beta')
+            bias_beta_config = self.fit_info.get(
+                'bias_beta_config', {}).get(name, 'bias_beta')
             growth_rate = parameters.get('growth_rate', None)
             if growth_rate is None:
                 growth_rate = self.get_growth_rate(self.zeff_in)

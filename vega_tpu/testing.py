@@ -157,6 +157,45 @@ def _write_correlation_data(path, is_cross, z_eff, rng, model_xi=None,
     return coords
 
 
+def write_metal_file(path, coords, z_eff, tracer1, tracer2,
+                     metals_in1=(), metals_in2=()):
+    """Write a picca-style metal file with coordinate columns for every
+    metal pair a Data reader may request (RP_/RT_/Z_ per pair name, both
+    orders), and NO distortion columns — with `test = True` in [data]
+    the reader substitutes identity metal matrices (mirrors the
+    reference's test fixtures, reference data.py:683-684)."""
+    pair_names = set()
+    for m in metals_in2:
+        pair_names.add(f'{tracer1}_{m}')
+        pair_names.add(f'{m}_{tracer1}')
+    for m in metals_in1:
+        pair_names.add(f'{m}_{tracer2}')
+        pair_names.add(f'{tracer2}_{m}')
+    for m1 in metals_in1:
+        for m2 in metals_in2:
+            pair_names.add(f'{m1}_{m2}')
+            pair_names.add(f'{m2}_{m1}')
+
+    n = coords.rp_grid.size
+    z = np.full(n, z_eff)
+    header = {
+        'RPMIN': coords.rp_min, 'RPMAX': coords.rp_max,
+        'RTMAX': coords.rt_max, 'NP': coords.rp_nbins,
+        'NT': coords.rt_nbins, 'BLINDING': 'none',
+    }
+    columns = {}
+    for name in sorted(pair_names):
+        columns[f'RP_{name}'] = coords.rp_grid
+        columns[f'RT_{name}'] = coords.rt_grid
+        columns[f'Z_{name}'] = z
+    write_fits(path, [
+        {'name': 'ATTRI', 'header': header,
+         'columns': {'DUMMY': np.zeros(1)}},
+        {'name': 'MDMAT', 'columns': columns},
+    ])
+    return path
+
+
 def make_synthetic_dataset(workdir, cross=True, sample=None, seed=0,
                            noise=0.0, size='full', with_distortion=False,
                            extra_model='', extra_control='',
