@@ -120,8 +120,30 @@ class BatchedLikelihood:
             padded[k] = arr.reshape(-1, chunk_total)
         fn = self._build(names)
         collapsed = self.vega.get_collapsed(names)
+        statics = STATICS.device_tree()
+        if jax.process_count() > 1:
+            # Multi-host (DCN): jit inputs must be global jax.Arrays.
+            # Every process holds the same full numpy batch, so each
+            # just materializes its addressable shards.
+            chunk_sh = NamedSharding(self.mesh, P(None, self.axis_name))
+            repl = NamedSharding(self.mesh, P())
+
+            def globalize(a, sh):
+                arr = np.asarray(a)
+                return jax.make_array_from_callback(
+                    arr.shape, sh, lambda idx: arr[idx])
+
+            padded = {k: globalize(v, chunk_sh) for k, v in padded.items()}
+            statics = jax.tree.map(lambda a: globalize(a, repl), statics)
+            collapsed = jax.tree.map(lambda a: globalize(a, repl), collapsed)
         with self.mesh:
-            out = fn(padded, STATICS.device_tree(), collapsed)
+            out = fn(padded, statics, collapsed)
+        if jax.process_count() > 1:
+            # gather the sharded result so every host sees all values
+            # (the one DCN crossing; reference analogue: MPI gather of
+            # per-rank results)
+            from jax.experimental import multihost_utils
+            out = multihost_utils.process_allgather(out, tiled=True)
         return np.asarray(out)[:n]
 
     def log_lik(self, param_batches):
@@ -211,10 +233,20 @@ def _newton_minimize_batched(chi2_of, x0, lo, hi, batch_inputs, mesh,
     def newton_step(x, batch_elem, statics, co):
         g = grad_fn(x, batch_elem, statics, co)
         h = hess_fn(x, batch_elem, statics, co)
-        # Levenberg damping for robustness far from the minimum
-        # (max(n_free, 1) keeps the all-params-scanned case finite)
-        damp = 1e-6 * jnp.trace(h) / max(n_free, 1)
-        step = _spd_solve(h + damp * jnp.eye(n_free), g)
+        # Adaptive Levenberg damping: an indefinite Hessian (flat or
+        # noise-dominated likelihood, early iterations far from the
+        # minimum) makes the plain Cholesky solve NaN. Solve at a ladder
+        # of damping strengths and keep the least-damped finite step;
+        # the strongest level approximates scaled gradient descent.
+        # (max(n_free, 1) keeps the all-params-scanned case finite.)
+        tr = jnp.abs(jnp.trace(h)) / max(n_free, 1) + 1e-12
+        eye = jnp.eye(n_free)
+        steps = [_spd_solve(h + lam * eye, g)
+                 for lam in (1e-6 * tr, 1e-2 * tr, tr, 1e2 * tr)]
+        step = jnp.zeros_like(g)    # last resort: stay put
+        for s in steps[::-1]:
+            s_ok = jnp.all(jnp.isfinite(s))
+            step = jnp.where(s_ok, s, step)
         x_new = jnp.clip(x - step, lo, hi)
         return x_new, g, h
 
@@ -240,7 +272,10 @@ def _newton_minimize_batched(chi2_of, x0, lo, hi, batch_inputs, mesh,
         chi2 = chi2_of(x, batch_elem, statics, co)
         cov = 2.0 * _spd_inv(h)
         errors = jnp.sqrt(jnp.clip(jnp.diag(cov), 0, None))
-        valid = jnp.all(jnp.abs(g) < 1e-3)
+        # a fit is only valid with a stationary point AND a positive-
+        # definite curvature there (indefinite Hessian -> NaN Cholesky)
+        valid = (jnp.all(jnp.abs(g) < 1e-3)
+                 & jnp.all(jnp.isfinite(cov)) & jnp.all(jnp.isfinite(chi2)))
         return x, errors, cov, chi2, valid
 
     leaves = jax.tree.leaves(batch_inputs)
