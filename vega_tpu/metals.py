@@ -157,6 +157,11 @@ class Metals:
                        'rescale-coords-systematics', 'pk-damping-scale']
         if any(key in metals_config for key in unsupported):
             return None
+        # the metal PktoXi is built from the [model] section; the
+        # extrapolated transform is non-linear in P, which the moment
+        # factorization cannot express
+        if corr_item.config['model'].getboolean('fht_extrap', False):
+            return None
         if self.save_components or self.rp_only_metal_mats:
             return None
         if self._scale_params_like_metal_scaling():

@@ -78,10 +78,13 @@ class PktoXi:
 
         self.ell_max = config.getint('ell_max', 6)
         self._old_fftlog = config.getboolean('old_fftlog', False)
+        # mcfit's extrap=True (reference: pktoxi.py:41-43): the input
+        # P_ell is power-law-extrapolated into the FFT padding region
+        # instead of zero-padded. Implemented as transform operators on
+        # the extended k grid plus an in-trace power-law continuation
+        # (the continuation is non-linear in P, so the factored fast
+        # path densifies first; see compute()).
         self._extrap = config.getboolean('fht_extrap', False)
-        if self._extrap:
-            raise NotImplementedError(
-                'fht_extrap is not supported; pad the input P(k) instead')
         self._lowring = config.getboolean('fht_lowring', True)
 
         self.ell_vals = tuple(np.arange(0, self.ell_max + 1, 2))
@@ -101,11 +104,15 @@ class PktoXi:
         pad_env = os.environ.get('VEGA_TPU_FFT_PAD', 'mcfit')
         pad_to = None if pad_env == 'mcfit' else int(pad_env)
         cache_key = (self.k_grid.tobytes(), self.ell_vals,
-                     self._old_fftlog, self._lowring, pad_env)
+                     self._old_fftlog, self._lowring, pad_env,
+                     self._extrap)
+        self._extrap_geom = None
         if cache_key not in _OPERATOR_CACHE:
             if self._old_fftlog:
                 ops, logr = self._build_legacy_operators(
                     self.ell_vals, n_exp=2, project_scale=True)
+            elif self._extrap:
+                ops, logr = self._build_extrap_operators(pad_to)
             else:
                 fftlogs = [FFTLogP2Xi(self.k_grid, ell,
                                       lowring=self._lowring, pad_to=pad_to)
@@ -120,6 +127,14 @@ class PktoXi:
                 register_static(sd_ops, 'fftsd'))
         self.fft_ops, self.logr_knots, self.fft_sd_ops = \
             _OPERATOR_CACHE[cache_key]
+        if self._extrap and not self._old_fftlog:
+            from .ops.fftlog import default_pad_size
+            n = len(self.k_grid)
+            n_fft = default_pad_size(n) if pad_to is None \
+                else max(int(pad_to), n)
+            delta = np.log(self.k_grid[-1] / self.k_grid[0]) / (n - 1)
+            n_pad = n_fft - n
+            self._extrap_geom = (n_pad // 2, n_pad - n_pad // 2, delta)
 
         # Lazily-built legacy operators for the relativistic / asymmetry
         # additive terms (reference: pktoxi.py:321-382 use the legacy path)
@@ -132,6 +147,64 @@ class PktoXi:
         """Construct from a PowerSpectrum (reference: pktoxi.py:61-77)."""
         return cls(pk.k_grid, pk.muk_grid, pk.tracer1_name, pk.tracer2_name,
                    config)
+
+    # ------------------------------------------------------------------
+    # fht_extrap support (mcfit extrap=True; reference: pktoxi.py:41-43)
+    # ------------------------------------------------------------------
+    def _build_extrap_operators(self, pad_to):
+        """Transform operators acting on the EXTENDED (n_fft) input grid:
+        the k grid continued geometrically into the padding region with
+        the same centered split as the zero-pad path; output rows sliced
+        back to the original r grid."""
+        from .ops.fftlog import FFTLogP2Xi, default_pad_size
+        k = self.k_grid
+        n = len(k)
+        n_fft = default_pad_size(n) if pad_to is None else max(int(pad_to), n)
+        delta = np.log(k[-1] / k[0]) / (n - 1)
+        n_pad = n_fft - n
+        pad_l = n_pad // 2
+        pad_r = n_pad - pad_l
+        k_full = np.concatenate([
+            k[0] * np.exp(-delta * np.arange(pad_l, 0, -1)),
+            k,
+            k[-1] * np.exp(delta * np.arange(1, pad_r + 1)),
+        ])
+        ops = []
+        logr = None
+        for ell in self.ell_vals:
+            tr = FFTLogP2Xi(k_full, ell, lowring=self._lowring, pad_to=0)
+            full = tr.operator()                       # (n_fft, n_fft)
+            # output rows on the original r grid: r_i = e^lnxy / k[n-1-i]
+            # sits at extended index pad_r + i
+            ops.append(full[pad_r:pad_r + n, :])
+            if logr is None:
+                logr = np.log(tr.r_grid[pad_r:pad_r + n])
+        return np.stack(ops), logr
+
+    def _extrap_pad(self, pk_ells):
+        """Power-law continuation of each multipole into the padding
+        region (jax-traceable; the mcfit extrap=True input treatment).
+        Ends with zeros or sign flips fall back to zero padding."""
+        pad_l, pad_r, delta = self._extrap_geom
+
+        def continuation(f_edge, f_inward, steps):
+            # geometric continuation f_edge * rho^step with the per-index
+            # ratio rho = f_edge / f_inward in the outward direction;
+            # zero or sign-flipping edges fall back to zero padding
+            # (mcfit's extrap requires same-sign ends too)
+            safe = (f_edge * f_inward > 0)
+            rho = jnp.where(safe, jnp.abs(f_edge / jnp.where(
+                f_inward == 0, 1.0, f_inward)), 1.0)
+            vals = f_edge[..., None] * rho[..., None] ** steps
+            return jnp.where(safe[..., None], vals, 0.0)
+
+        # left block, outermost first: steps pad_l..1 outward
+        left = continuation(pk_ells[..., 0], pk_ells[..., 1],
+                            jnp.arange(pad_l, 0, -1))
+        right = continuation(pk_ells[..., -1], pk_ells[..., -2],
+                             jnp.arange(1, pad_r + 1))
+        del delta
+        return jnp.concatenate([left, pk_ells, right], axis=-1)
 
     # ------------------------------------------------------------------
     # Main transform
@@ -163,6 +236,10 @@ class PktoXi:
         """
         from .factored import FactoredXi
         from .power_spectrum import FactoredPk
+        if isinstance(pk, FactoredPk) and self._extrap_geom is not None:
+            # the power-law continuation is non-linear in P — no
+            # factored form through an extrapolated transform
+            pk = pk.dense()
         if isinstance(pk, FactoredPk):
             basis = jnp.stack(pk.bases)                    # (t, muk, k)
             pk_ells_t = jnp.einsum('lm,tmk->tlk',
@@ -195,6 +272,8 @@ class PktoXi:
             m_knots = jnp.einsum('t,tli->li', theta, mknots_t)
         else:
             pk_ells = self.legendre_proj @ pk              # (n_ell, n_k)
+            if self._extrap_geom is not None:
+                pk_ells = self._extrap_pad(pk_ells)        # (n_ell, n_fft)
             xi_knots = jnp.einsum('lij,lj->li',
                                   resolve(self.fft_ops), pk_ells)
             m_knots = jnp.einsum('lij,lj->li',
