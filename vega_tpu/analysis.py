@@ -62,10 +62,14 @@ class Analysis:
             sample_params['fix'][param] = True
             sample_params['errors'][param] = 0.
 
-        batched = False
+        # Default: all grid points minimized simultaneously on device
+        # (exact-derivative batched Newton; tests pin agreement with the
+        # serial re-minimization loop). `batched_scan = False` in
+        # [control] restores the reference's serial MIGRAD-style loop.
+        batched = self._vega is not None
         if self._vega is not None and 'control' in self.config:
             batched = self.config['control'].getboolean(
-                'batched_scan', False)
+                'batched_scan', True)
         if batched:
             # all grid points minimized simultaneously on device
             from .parallel.batch import batched_chi2_scan

@@ -57,12 +57,18 @@ class Minimizer:
     (reference: minimizer.py:8-188)."""
 
     def __init__(self, chi2_func, sample_params, grad_func=None,
-                 hess_func=None, valgrad_func=None):
+                 hess_func=None, valgrad_func=None, valgradhess_func=None):
         self.chi2_func = chi2_func
         self.grad_func = grad_func
         self.hess_func = hess_func
         # fused value+gradient (one compiled graph instead of two)
         self.valgrad_func = valgrad_func
+        # fully fused value+gradient+Hessian: ONE compiled graph for the
+        # whole fit when the collapsed fast path applies (per-step
+        # Hessians are then a handful of coefficient contractions);
+        # the callable returns None when it does not apply
+        self.valgradhess_func = valgradhess_func
+        self._vgh_available = None
         self._names = list(sample_params['limits'].keys())
         self._sample_params = sample_params
         self.run_flag = False
@@ -104,9 +110,23 @@ class Minimizer:
 
         use_grad = (self.grad_func is not None
                     or self.valgrad_func is not None)
-        fused = self.valgrad_func is not None
 
-        if fused:
+        import os
+        if (self.valgradhess_func is not None
+                and os.environ.get('VEGA_TPU_FUSED_FIT', '0') != '1'):
+            self._vgh_available = False
+        if self.valgradhess_func is not None and self._vgh_available is None:
+            self._vgh_available = (
+                self.valgradhess_func(dict(fixed_values)) is not None)
+        use_vgh = bool(self.valgradhess_func) and bool(self._vgh_available)
+        fused = self.valgrad_func is not None or use_vgh
+
+        if use_vgh:
+            def fun(x):
+                val, grads, _ = self.valgradhess_func(unpack(x))
+                return float(val), np.array(
+                    [grads[name] for name in free_names])
+        elif fused:
             # value and gradient from ONE jitted graph: scipy's
             # L-BFGS-B accepts jac=True with fun returning (f, g),
             # halving both the cold-compile count and the per-step
@@ -154,7 +174,13 @@ class Minimizer:
         cov = 2 H^-1 (errordef = 1 chi^2 convention)."""
         n = len(free_names)
         hesse_failed = False
-        if self.hess_func is not None:
+        if self.valgradhess_func is not None and self._vgh_available:
+            full = {**fixed_values, **{k: bestfit[k] for k in free_names}}
+            _, _, hess_dict = self.valgradhess_func(full)
+            hess = np.array(
+                [[hess_dict[n1][n2] for n2 in free_names]
+                 for n1 in free_names])
+        elif self.hess_func is not None:
             hess_dict = self.hess_func(
                 {**fixed_values, **{k: bestfit[k] for k in free_names}},
                 free_names)

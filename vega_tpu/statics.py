@@ -70,6 +70,11 @@ class StaticStore:
             self._device_arrays = None  # invalidate device cache
         return StaticRef(self, name, arr.shape, arr.dtype)
 
+    def host_tree(self):
+        """The full store as host numpy arrays (for running param-
+        independent passes on the CPU backend)."""
+        return dict(self._arrays)
+
     def device_tree(self):
         """The full store as a dict of device arrays (cached; one H2D
         transfer per array per process)."""

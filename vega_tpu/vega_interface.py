@@ -291,7 +291,10 @@ class VegaInterface:
             fxi = model_cf[name].mask(self.data[name].model_mask)
             inv_cov = jnp.asarray(resolve(self._invcov_refs[name]))
             w_mat = fxi.V @ inv_cov                  # (T, nm)
-            out[name] = {'W': w_mat, 'A': w_mat @ fxi.V.T}
+            out[name] = {'W': w_mat, 'A': w_mat @ fxi.V.T,
+                         # unmasked basis stack: model = coeffs @ V
+                         # (compute_model's fast path)
+                         'V': model_cf[name].V}
         return out
 
     def _chi2_graph(self, sample_params, data_vecs, cov_scales,
@@ -425,11 +428,29 @@ class VegaInterface:
                           for name in sample_names}
             # The collapse tensors are data-independent; dummy data vecs
             # keep this usable before any MC mock exists
-            dummy_data = {name: jnp.zeros(int(np.sum(
+            dummy_data = {name: np.zeros(int(np.sum(
                 self.data[name].data_mask))) for name in self.corr_items}
             cov_scales = {name: 1.0 for name in self.corr_items}
-            out = fn(sample_now, dummy_data, cov_scales,
-                     STATICS.device_tree())
+
+            # Run the collapse on the HOST CPU backend when the default
+            # backend is an accelerator: it executes once, the local CPU
+            # compile takes seconds (the remote-TPU compile of the same
+            # graph is the dominant cold-start cost), and host f64 is
+            # exact. The resulting small tensors ship to the accelerator
+            # as ordinary jit arguments afterwards.
+            try:
+                cpu = jax.devices('cpu')[0]
+            except Exception:
+                cpu = None
+            if cpu is not None and jax.default_backend() != 'cpu':
+                with jax.default_device(cpu):
+                    out = fn(sample_now, dummy_data, cov_scales,
+                             STATICS.host_tree())
+                out = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)),
+                                   out)
+            else:
+                out = fn(sample_now, dummy_data, cov_scales,
+                         STATICS.device_tree())
             self._collapsed_cache[key] = jax.tree.map(
                 lambda x: x.block_until_ready(), out)
         return self._collapsed_cache[key]
@@ -471,6 +492,38 @@ class VegaInterface:
             self._current_data_vecs_device(), self._current_cov_scales(),
             STATICS.device_tree(), self.get_collapsed(params.keys()))
         return {k: float(v) for k, v in grads.items()}
+
+    def chi2_value_grad_hess(self, params):
+        """(chi^2, gradient, Hessian) from ONE jitted graph — used by the
+        minimizer when VEGA_TPU_FUSED_FIT=1 and the collapsed fast path
+        applies. Measured on this image's remote-TPU transport the fused
+        graph LOSES: its compile is larger than valgrad+hessian
+        separately and every L-BFGS step pays the Hessian transfer
+        (warm DR16 refit 8.9s vs 2.3s split), so the split graphs stay
+        the default. Returns None when the collapse does not apply.
+        """
+        if not self.get_collapsed(params.keys()):
+            return None
+        if getattr(self, '_jit_chi2_vgh', None) is None:
+            self._ensure_static_refs()
+
+            def fn(p, dv, cs, st, co):
+                return self._chi2_graph_bound(p, dv, cs, st, co)[0]
+
+            def fused(p, dv, cs, st, co):
+                val, grads = jax.value_and_grad(fn)(p, dv, cs, st, co)
+                hess = jax.hessian(fn)(p, dv, cs, st, co)
+                return val, grads, hess
+
+            self._jit_chi2_vgh = jax.jit(fused)
+        val, grads, hess = self._jit_chi2_vgh(
+            {k: float(v) for k, v in params.items()},
+            self._current_data_vecs_device(), self._current_cov_scales(),
+            STATICS.device_tree(), self.get_collapsed(params.keys()))
+        names = list(params.keys())
+        return (float(val), {k: float(v) for k, v in grads.items()},
+                {n1: {n2: float(hess[n1][n2]) for n2 in names}
+                 for n1 in names})
 
     def chi2_hessian(self, params, free_names):
         """Exact chi^2 Hessian over free_names via jax.hessian. The jit
@@ -550,18 +603,21 @@ class VegaInterface:
                    and not self.fiducial.get('save-components', False))
         if use_jit:
             self._ensure_static_refs()
-            if getattr(self, '_jit_model', None) is None:
-                def model_bound(lp, statics):
-                    with STATICS.bind(statics):
-                        return self._model_graph(lp)
-                self._jit_model = jax.jit(model_bound)
-            cf_dict, bad = self._jit_model(local_params,
-                                           STATICS.device_tree())
-            if bool(bad):
-                raise utils.VegaModelError(
-                    'Model evaluation failed (out-of-bounds interpolation '
-                    'or non-finite factor)')
-            model_cf = {name: np.asarray(cf) for name, cf in cf_dict.items()}
+            model_cf = self._compute_model_fast(params)
+            if model_cf is None:
+                if getattr(self, '_jit_model', None) is None:
+                    def model_bound(lp, statics):
+                        with STATICS.bind(statics):
+                            return self._model_graph(lp)
+                    self._jit_model = jax.jit(model_bound)
+                cf_dict, bad = self._jit_model(local_params,
+                                               STATICS.device_tree())
+                if bool(bad):
+                    raise utils.VegaModelError(
+                        'Model evaluation failed (out-of-bounds '
+                        'interpolation or non-finite factor)')
+                model_cf = {name: np.asarray(cf)
+                            for name, cf in cf_dict.items()}
         else:
             model_cf = {}
             if run_init:
@@ -570,8 +626,10 @@ class VegaInterface:
                 self._jit_chi2 = None
                 self._jit_chi2_valgrad = None
                 self._jit_chi2_grad = None
+                self._jit_chi2_vgh = None
                 self._hess_cache = {}
                 self._collapsed_cache = {}
+                self._jit_model_coeffs = {}
             for name, corr_item in self.corr_items.items():
                 if run_init:
                     self.models[name] = Model(
@@ -599,6 +657,69 @@ class VegaInterface:
                     model_cf[name] = model_cf[name] + \
                         self.data[name].marg_templates.dot(marg_coeff[name])
 
+        return model_cf
+
+    def _compute_model_fast(self, params):
+        """Model vectors via the factored fast path: a coefficients-only
+        jitted graph (all basis work dead-code-eliminated) contracted
+        with the collapse pass's basis stacks. Returns None when the
+        factored form does not apply (then the dense graph is used).
+
+        params=None evaluates at the stored values of the configured
+        sample parameters, sharing the compiled graph with bestfit-model
+        and Monte-Carlo-fiducial calls.
+        """
+        from .factored import FactoredXi
+
+        if params is None:
+            if not self.sample_params['limits']:
+                return None
+            sample_params = {name: float(self.params[name])
+                             for name in self.sample_params['limits']}
+        else:
+            sample_params = {k: float(v) for k, v in params.items()}
+
+        collapsed = self.get_collapsed(sample_params.keys())
+        if not collapsed:
+            return None
+
+        key = frozenset(sample_params.keys())
+        if not hasattr(self, '_jit_model_coeffs'):
+            self._jit_model_coeffs = {}
+        if key not in self._jit_model_coeffs:
+            kinds = {}
+
+            def coeffs_bound(sp, statics):
+                with STATICS.bind(statics):
+                    model_cf, bad = self._model_graph(
+                        self._get_lcl_prms(sp), keep_factored=True)
+                out = {}
+                for name, cf in model_cf.items():
+                    if isinstance(cf, FactoredXi):
+                        kinds[name] = 'coeffs'
+                        out[name] = cf.coeff_vector()
+                    else:
+                        kinds[name] = 'dense'
+                        out[name] = cf
+                return out, bad
+
+            self._jit_model_coeffs[key] = (jax.jit(coeffs_bound), kinds)
+
+        fn, kinds = self._jit_model_coeffs[key]
+        out, bad = fn(sample_params, STATICS.device_tree())
+        if bool(bad):
+            raise utils.VegaModelError(
+                'Model evaluation failed (out-of-bounds interpolation '
+                'or non-finite factor)')
+        model_cf = {}
+        for name, vec in out.items():
+            if kinds[name] == 'coeffs' and name in collapsed:
+                model_cf[name] = np.asarray(vec) @ np.asarray(
+                    collapsed[name]['V'])
+            elif kinds[name] == 'coeffs':
+                return None     # factored but no collapse tensors
+            else:
+                model_cf[name] = np.asarray(vec)
         return model_cf
 
     def chi2(self, params=None, direct_pk=None, return_marg_coeff=False):
