@@ -21,6 +21,11 @@ For a self-contained demonstration (synthetic data, no download) see
 run_synthetic.py in this directory.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
 import argparse
 from pathlib import Path
 

@@ -15,8 +15,8 @@ covariance/fmin) are preserved.
 from __future__ import annotations
 
 import copy
+import sys
 import time
-from sys import stdout
 from types import SimpleNamespace
 
 import numpy as np
@@ -303,7 +303,7 @@ class Minimizer:
 
         print(f'INFO: minimized in {time.time() - t0}')
         print(f'INFO: bestfit chi2 = {fval}')
-        stdout.flush()
+        sys.stdout.flush()
         self.run_flag = True
         del fixed_names
 
