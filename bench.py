@@ -16,13 +16,12 @@ tracer pair, with warm value caches — runs at ~10 evals/sec on a modern
 core (BASELINE.md quotes no number; this is a measured-order estimate of
 the cached path, generous to the reference). vs_baseline = value / 10.
 
-Measured on the v5e (2026-08-16): f64 (parity grade, chi^2 agreement
-~1e-9 relative) 5737 evals/s/chip at batch 512 via the factored
+Measured on the v5e (2026-08-17): f64 (parity grade, chi^2 agreement
+~1e-9 relative) 7786 evals/s/chip at batch 2048 via the factored
 linear-model path + collapsed quadratic form (vega_tpu/factored.py;
 docs/performance.md has the ablation: 282 dense, 769 factored-Kaiser,
-576 in-trace quadratic form). f32 dense mode
-(VEGA_TPU_BENCH_PRECISION=f32) 2094 evals/s/chip. The default reported
-number is the accuracy-qualified f64 one.
+5737 at batch 512). The default reported number is the
+accuracy-qualified f64 one.
 """
 
 import contextlib
@@ -68,7 +67,7 @@ def main():
     mesh = make_device_mesh()
     bl = BatchedLikelihood(vega, mesh=mesh)
 
-    batch_size = int(os.environ.get('VEGA_TPU_BENCH_BATCH', 512)) * n_devices
+    batch_size = int(os.environ.get('VEGA_TPU_BENCH_BATCH', 2048)) * n_devices
     rng = np.random.default_rng(0)
     batches = {
         name: val + 0.01 * np.abs(val) * rng.normal(size=batch_size)
