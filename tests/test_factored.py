@@ -86,6 +86,49 @@ def test_factored_matches_dense_ap_at_sampled(monkeypatch):
     assert chi2_f == pytest.approx(chi2_d, rel=1e-11, abs=1e-18)
 
 
+def test_factored_matches_dense_mul_broadband_sampled(monkeypatch):
+    """A sampled multiplicative-broadband coefficient densifies the
+    factored model; the mul polynomial must be applied exactly once
+    (regression: the fallthrough used to apply it twice)."""
+    import configparser
+    from pathlib import Path
+
+    bb_param = 'BB-lyaxlya-0 mul pre r,mu (0,0)'
+
+    def _build_bb(factored):
+        if not factored:
+            monkeypatch.setenv('VEGA_TPU_FACTORED', '0')
+        else:
+            monkeypatch.setenv('VEGA_TPU_FACTORED', '1')
+        from vega_tpu.testing import make_synthetic_dataset
+        from vega_tpu.vega_interface import VegaInterface
+
+        workdir = Path(tempfile.mkdtemp(prefix='vega_tpu_factored_bb_'))
+        main_path = make_synthetic_dataset(
+            workdir, cross=False, size='tiny',
+            sample={'bias_LYA': 'True', 'beta_LYA': 'True',
+                    bb_param: '-1. 1. 0.15 0.01'})
+        with open(workdir / 'lyaxlya.ini', 'a') as f:
+            f.write('\n[broadband]\nbb1 = mul pre r,mu 0:0:1 0:0:1\n')
+        config = configparser.ConfigParser()
+        config.optionxform = lambda option: option
+        config.read(main_path)
+        config['parameters'][bb_param] = '0.15'
+        with open(main_path, 'w') as f:
+            config.write(f)
+        return VegaInterface(main_path)
+
+    batch = dict(BIAS_BATCH)
+    batch[bb_param] = np.array([0.15, 0.0, 0.3, -0.1])
+    vega_f = _build_bb(True)
+    chi2_f = _chi2_batch(vega_f, batch)
+    vega_d = _build_bb(False)
+    chi2_d = _chi2_batch(vega_d, batch)
+    assert chi2_f == pytest.approx(chi2_d, rel=1e-10, abs=1e-8)
+    serial = vega_d.chi2({k: float(v[2]) for k, v in batch.items()})
+    assert chi2_f[2] == pytest.approx(serial, rel=1e-8, abs=1e-8)
+
+
 def test_factored_gradient_matches_dense(monkeypatch):
     """Exact gradients through the quadratic form agree with the dense
     graph's gradients (the minimizer path)."""

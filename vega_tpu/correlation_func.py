@@ -157,8 +157,12 @@ class CorrelationFunction:
                 shape = lam / r * self.uv_A(r / lam)
                 if 'bias_gamma' in params:
                     bias_gamma = params['bias_gamma']
-                else:
+                elif 'bias_gamma_e' in params:
                     bias_gamma = params['bias_gamma_e']
+                else:
+                    raise ValueError(
+                        'UV shotnoise requested but bias_gamma or '
+                        'bias_gamma_e is not in the parameters.')
                 amp = bias_gamma ** 2 * params['uv_shotnoise_amp']
                 xi = xi.add_vec(shape, coeff=amp)
             else:

@@ -23,8 +23,9 @@ from .statics import is_identity, register as register_static, resolve
 def _concrete(x):
     """True when x can be materialized (saving components only makes
     sense on eager evaluations; under jit the values are tracers)."""
-    if isinstance(x, power_spectrum.FactoredPk):
-        return False    # factored form only exists inside a trace
+    from .factored import FactoredXi
+    if isinstance(x, (power_spectrum.FactoredPk, FactoredXi)):
+        return False    # factored forms only exist inside a trace
     return not isinstance(x, jax.core.Tracer)
 
 
@@ -188,19 +189,20 @@ class Model:
             rec = RecordingParams(pars)
             bb_mul = self.broadband.compute(rec, f'{position}-mul')
             if rec.traced():
+                # sampled mul-coefficient: densify, apply BOTH stages
+                # here and return (falling through would multiply by the
+                # mul-broadband a second time)
                 xi_model = xi_model.dense() * bb_mul
-            elif not (isinstance(bb_mul, float) and bb_mul == 1.):
+                return xi_model + self.broadband.compute(pars,
+                                                         f'{position}-add')
+            if not (isinstance(bb_mul, float) and bb_mul == 1.):
                 xi_model = xi_model.mul_vec(
                     bb_mul * jnp.ones(xi_model.V.shape[1]))
-            if isinstance(xi_model, FactoredXi):
-                terms = self.broadband.compute_add_terms(pars, position)
-                if terms is None:
-                    xi_model = (xi_model.dense()
-                                + self.broadband.compute(pars,
-                                                         f'{position}-add'))
-                else:
-                    xi_model = xi_model.add_terms(terms)
-                return xi_model
+            terms = self.broadband.compute_add_terms(pars, position)
+            if terms is None:
+                return (xi_model.dense()
+                        + self.broadband.compute(pars, f'{position}-add'))
+            return xi_model.add_terms(terms)
 
         xi_model = xi_model * self.broadband.compute(pars, f'{position}-mul')
         xi_model = xi_model + self.broadband.compute(pars, f'{position}-add')

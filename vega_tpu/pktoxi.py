@@ -103,9 +103,10 @@ class PktoXi:
         import os
         pad_env = os.environ.get('VEGA_TPU_FFT_PAD', 'mcfit')
         pad_to = None if pad_env == 'mcfit' else int(pad_env)
+        lowring_branch = os.environ.get('VEGA_TPU_LOWRING', '')
         cache_key = (self.k_grid.tobytes(), self.ell_vals,
                      self._old_fftlog, self._lowring, pad_env,
-                     self._extrap)
+                     self._extrap, lowring_branch)
         self._extrap_geom = None
         if cache_key not in _OPERATOR_CACHE:
             if self._old_fftlog:

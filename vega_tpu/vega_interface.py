@@ -171,7 +171,8 @@ class VegaInterface:
             self.minimizer = Minimizer(
                 self.chi2, self.sample_params,
                 grad_func=self.chi2_gradient, hess_func=self.chi2_hessian,
-                valgrad_func=self.chi2_value_and_gradient)
+                valgrad_func=self.chi2_value_and_gradient,
+                valgradhess_func=self.chi2_value_grad_hess)
         self.analysis = Analysis(self.chi2, self.sample_params,
                                  self.main_config, self.corr_items,
                                  self.data, self.mc_config, self.global_cov,
@@ -928,7 +929,8 @@ class VegaInterface:
         self.minimizer = Minimizer(
             self.chi2, sample_params,
             grad_func=self.chi2_gradient, hess_func=self.chi2_hessian,
-            valgrad_func=self.chi2_value_and_gradient)
+            valgrad_func=self.chi2_value_and_gradient,
+            valgradhess_func=self.chi2_value_grad_hess)
 
         forecast = self.main_config['control'].getboolean('forecast', False)
         seed = self.main_config['control'].getint('mc_seed', 0)
