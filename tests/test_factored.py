@@ -47,15 +47,15 @@ def test_factored_matches_dense_bias_beta(monkeypatch):
     chi2_f = _chi2_batch(vega_f, BIAS_BATCH)
     vega_d = _build(monkeypatch, False, with_distortion=True)
     chi2_d = _chi2_batch(vega_d, BIAS_BATCH)
-    # abs floor: the quadratic form reassociates diff'C^-1 diff into
-    # d'C^-1 d - 2c.Wd + c.Ac, whose f64 cancellation noise is
-    # ~eps * d'C^-1 d ~ 1e-11 here — visible only at chi2 ~ 0 (the
-    # injected-truth batch entries) and irrelevant at any fitted chi2
-    assert chi2_f == pytest.approx(chi2_d, rel=1e-11, abs=1e-8)
+    # the collapsed quadratic form is CENTERED on the collapse-time
+    # coefficients (chi2 = r'Cr - 2dc.Wr + dc.A dc), so there is no
+    # large-magnitude cancellation even at chi2 ~ 0; only float
+    # reassociation noise remains
+    assert chi2_f == pytest.approx(chi2_d, rel=1e-11, abs=1e-12)
     # and both match the eager serial evaluation
     for i in range(len(chi2_f)):
         serial = vega_d.chi2({k: float(v[i]) for k, v in BIAS_BATCH.items()})
-        assert chi2_f[i] == pytest.approx(serial, rel=1e-9, abs=1e-8)
+        assert chi2_f[i] == pytest.approx(serial, rel=1e-9, abs=1e-12)
 
 
 def test_factored_matches_dense_grid_param_sampled(monkeypatch):

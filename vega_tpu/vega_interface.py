@@ -295,7 +295,13 @@ class VegaInterface:
             out[name] = {'W': w_mat, 'A': w_mat @ fxi.V.T,
                          # unmasked basis stack: model = coeffs @ V
                          # (compute_model's fast path)
-                         'V': model_cf[name].V}
+                         'V': model_cf[name].V,
+                         # reference coefficients (at the collapse-time
+                         # parameter values): the chi^2 quadratic form
+                         # centers on c0 so the large-magnitude
+                         # d'Cd / c'Ac cancellation disappears
+                         'c0': fxi.coeff_vector(),
+                         'm0': fxi.coeff_vector() @ fxi.V}
         return out
 
     def _chi2_graph(self, sample_params, data_vecs, cov_scales,
@@ -350,19 +356,32 @@ class VegaInterface:
                     # and jax eliminates it from the compiled graph.
                     fxi = model_cf[name].mask(corr_data.model_mask)
                     c = fxi.coeff_vector()
+                    d = data_vecs[name]
                     if collapsed is not None and name in collapsed:
                         w_mat = collapsed[name]['W']
                         a_mat = collapsed[name]['A']
                         assert a_mat.shape == (fxi.n_terms, fxi.n_terms), (
                             'collapsed tensors do not match the factored '
                             'term structure — stale collapse cache')
+                        # centered quadratic form: with the residual
+                        # r = d - m0 against the collapse-time model and
+                        # dc = c - c0, diff = r - V'dc exactly, so
+                        #   chi2 = r'Cr - 2 dc.(W r) + dc.(A dc)
+                        # — same O(T^2) per-eval cost, but no
+                        # large-magnitude cancellation (the uncentered
+                        # d'Cd - 2c.Wd + c.Ac loses ~5 digits in f64 and
+                        # is unusable in f32)
+                        dc = c - collapsed[name]['c0']
+                        r = d - collapsed[name]['m0']   # m0 already masked
+                        chi2_corr = (r @ (inv_cov @ r)
+                                     - 2.0 * (dc @ (w_mat @ r))
+                                     + dc @ (a_mat @ dc))
                     else:
                         w_mat = fxi.V @ inv_cov         # (T, nm)
                         a_mat = w_mat @ fxi.V.T         # (T, T)
-                    d = data_vecs[name]
-                    chi2_corr = (d @ (inv_cov @ d)
-                                 - 2.0 * (c @ (w_mat @ d))
-                                 + c @ (a_mat @ c))
+                        chi2_corr = (d @ (inv_cov @ d)
+                                     - 2.0 * (c @ (w_mat @ d))
+                                     + c @ (a_mat @ c))
                 else:
                     model_corr = model_cf[name][corr_data.model_mask]
                     diff = data_vecs[name] - model_corr
