@@ -20,9 +20,11 @@ def test_batched_scan_matches_serial(tmp_path):
     vega, grid = _setup(tmp_path)
 
     # serial reference: the Analysis scan loop (re-minimizing MIGRAD
-    # equivalent at each point)
+    # equivalent at each point; batched is the default now, so opt out
+    # explicitly)
     vega.main_config['chi2 scan'] = {
         'bias_LYA': f'{grid[0]} {grid[-1]} {len(grid)}'}
+    vega.main_config['control']['batched_scan'] = 'False'
     serial = vega.analysis.chi2_scan()
 
     # batched: same grid through the control switch
@@ -55,3 +57,28 @@ def test_batched_scan_2d(tmp_path):
         expected = float(vega.chi2({'bias_LYA': row['bias_LYA'],
                                     'beta_LYA': row['beta_LYA']}))
         np.testing.assert_allclose(row['fval'], expected, rtol=1e-10)
+
+
+def test_batched_scan_ap_at(tmp_path):
+    """2D BAO (ap, at) profile scan through the batched path — the
+    AP-sampled regime densifies the spline stage, exercising the dense
+    fallback inside the batched Newton (BASELINE: (ap, at) agreement)."""
+    from vega_tpu.parallel import batched_chi2_scan
+
+    main_path = make_synthetic_dataset(
+        str(tmp_path), cross=False, size='tiny',
+        sample={'ap': 'True', 'at': 'True',
+                'bias_LYA': 'True', 'beta_LYA': 'True'})
+    vega = VegaInterface(main_path)
+
+    grids = {'ap': np.array([0.98, 1.0, 1.02]),
+             'at': np.array([0.97, 1.0, 1.03])}
+    results = batched_chi2_scan(vega, grids, max_iterations=60)
+    assert len(results) == 9
+    fvals = {(row['ap'], row['at']): row['fval'] for row in results}
+    assert all(np.isfinite(v) for v in fvals.values())
+    # the data was generated at ap = at = 1: the grid point at the truth
+    # must be the profile minimum
+    truth = fvals[(1.0, 1.0)]
+    assert truth == min(fvals.values())
+    assert all(v > truth + 1.0 for k, v in fvals.items() if k != (1.0, 1.0))
