@@ -497,6 +497,7 @@ class VegaInterface:
             {k: float(v) for k, v in params.items()},
             self._current_data_vecs_device(), self._current_cov_scales(),
             STATICS.device_tree(), self.get_collapsed(params.keys()))
+        self._valgrad_keys = frozenset(params.keys())
         return float(val), {k: float(v) for k, v in grads.items()}
 
     def chi2_gradient(self, params):
@@ -753,10 +754,32 @@ class VegaInterface:
         sample_params = {} if params is None else dict(params)
         data_vecs = self._current_data_vecs_device()
         cov_scales = self._current_cov_scales()
-        chi2, marg_coeff = self._get_jit_chi2()(
-            sample_params, data_vecs, cov_scales, STATICS.device_tree(),
-            self.get_collapsed(sample_params.keys()))
-        chi2 = float(chi2)
+
+        # Reuse the already-compiled value+gradient graph when the plain
+        # chi^2 graph isn't compiled yet and the parameter key set
+        # matches (e.g. log_lik right after a fit): every remote compile
+        # on this image costs O(100 s) of service latency. A params=None
+        # call can always use it — passing the stored values explicitly
+        # is identical to letting _get_lcl_prms fill them in.
+        if (params is None and self._jit_chi2 is None
+                and getattr(self, '_valgrad_keys', None)):
+            sample_params = {n: float(self.params[n])
+                             for n in self._valgrad_keys}
+        marg_coeff = {}
+        if (self._jit_chi2 is None and not self.marginalize_in_fit
+                and getattr(self, '_jit_chi2_valgrad', None) is not None
+                and getattr(self, '_valgrad_keys', None)
+                == frozenset(sample_params.keys())):
+            val, _ = self._jit_chi2_valgrad(
+                {k: float(v) for k, v in sample_params.items()},
+                data_vecs, cov_scales, STATICS.device_tree(),
+                self.get_collapsed(sample_params.keys()))
+            chi2 = float(val)
+        else:
+            chi2, marg_coeff = self._get_jit_chi2()(
+                sample_params, data_vecs, cov_scales, STATICS.device_tree(),
+                self.get_collapsed(sample_params.keys()))
+            chi2 = float(chi2)
 
         if return_marg_coeff:
             marg_coeff = {k: np.asarray(v) for k, v in marg_coeff.items()}
