@@ -292,16 +292,16 @@ class VegaInterface:
             fxi = model_cf[name].mask(self.data[name].model_mask)
             inv_cov = jnp.asarray(resolve(self._invcov_refs[name]))
             w_mat = fxi.V @ inv_cov                  # (T, nm)
+            # reference coefficients (at the collapse-time parameter
+            # values): the chi^2 quadratic form centers on c0 so the
+            # large-magnitude d'Cd / c'Ac cancellation disappears; m0
+            # MUST be c0 @ V for the centering to be exact
+            c0 = fxi.coeff_vector()
             out[name] = {'W': w_mat, 'A': w_mat @ fxi.V.T,
                          # unmasked basis stack: model = coeffs @ V
                          # (compute_model's fast path)
                          'V': model_cf[name].V,
-                         # reference coefficients (at the collapse-time
-                         # parameter values): the chi^2 quadratic form
-                         # centers on c0 so the large-magnitude
-                         # d'Cd / c'Ac cancellation disappears
-                         'c0': fxi.coeff_vector(),
-                         'm0': fxi.coeff_vector() @ fxi.V}
+                         'c0': c0, 'm0': c0 @ fxi.V}
         return out
 
     def _chi2_graph(self, sample_params, data_vecs, cov_scales,
@@ -648,6 +648,7 @@ class VegaInterface:
                 self._jit_chi2_valgrad = None
                 self._jit_chi2_grad = None
                 self._jit_chi2_vgh = None
+                self._valgrad_keys = None
                 self._hess_cache = {}
                 self._collapsed_cache = {}
                 self._jit_model_coeffs = {}
@@ -762,7 +763,10 @@ class VegaInterface:
         # call can always use it — passing the stored values explicitly
         # is identical to letting _get_lcl_prms fill them in.
         if (params is None and self._jit_chi2 is None
-                and getattr(self, '_valgrad_keys', None)):
+                and not self.marginalize_in_fit
+                and getattr(self, '_jit_chi2_valgrad', None) is not None
+                and getattr(self, '_valgrad_keys', None)
+                and all(n in self.params for n in self._valgrad_keys)):
             sample_params = {n: float(self.params[n])
                              for n in self._valgrad_keys}
         marg_coeff = {}
