@@ -69,12 +69,19 @@ class PktoXi:
     """Transform plan for one tracer pair on fixed (k, mu_k) grids
     (reference: pktoxi.py:12-59 for the configuration surface)."""
 
-    def __init__(self, k_grid, muk_grid, name1, name2, config):
+    def __init__(self, k_grid, muk_grid, name1, name2, config,
+                 muk_weights=None):
         self.name1 = name1
         self.name2 = name2
         self.k_grid = np.asarray(k_grid, dtype=np.float64)
         self.muk_grid = np.asarray(muk_grid)
         self.dmuk = 1.0 / len(muk_grid)
+        # quadrature weights for the mu_k projection (midpoint rule's
+        # uniform 1/N unless the PowerSpectrum supplies Gauss-Legendre
+        # weights; see power_spectrum.py muk-quadrature)
+        if muk_weights is None:
+            muk_weights = np.full(len(self.muk_grid), self.dmuk)
+        self.muk_weights = np.asarray(muk_weights, dtype=np.float64)
 
         self.ell_max = config.getint('ell_max', 6)
         self._old_fftlog = config.getboolean('old_fftlog', False)
@@ -89,11 +96,12 @@ class PktoXi:
 
         self.ell_vals = tuple(np.arange(0, self.ell_max + 1, 2))
 
-        # Legendre projection matrix, with the dmuk*(2l+1) weights folded in
-        # (reference: pktoxi.py:95,138)
+        # Legendre projection matrix, with the quadrature and (2l+1)
+        # weights folded in (reference: pktoxi.py:95,138)
         muk = self.muk_grid.ravel()
         self.legendre_proj = np.stack([
-            np.polyval(LEGENDRE_COEFFS[ell], muk) * self.dmuk * (2 * ell + 1)
+            np.polyval(LEGENDRE_COEFFS[ell], muk)
+            * self.muk_weights * (2 * ell + 1)
             for ell in self.ell_vals
         ])  # (n_ell, n_muk)
 
@@ -147,7 +155,7 @@ class PktoXi:
     def init_from_Pk(cls, pk, config):
         """Construct from a PowerSpectrum (reference: pktoxi.py:61-77)."""
         return cls(pk.k_grid, pk.muk_grid, pk.tracer1_name, pk.tracer2_name,
-                   config)
+                   config, muk_weights=getattr(pk, 'muk_weights', None))
 
     # ------------------------------------------------------------------
     # fht_extrap support (mcfit extrap=True; reference: pktoxi.py:41-43)
