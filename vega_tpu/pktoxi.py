@@ -194,7 +194,7 @@ class PktoXi:
         """Power-law continuation of each multipole into the padding
         region (jax-traceable; the mcfit extrap=True input treatment).
         Ends with zeros or sign flips fall back to zero padding."""
-        pad_l, pad_r, delta = self._extrap_geom
+        pad_l, pad_r, _ = self._extrap_geom
 
         def continuation(f_edge, f_inward, steps):
             # geometric continuation f_edge * rho^step with the per-index
@@ -212,7 +212,6 @@ class PktoXi:
                             jnp.arange(pad_l, 0, -1))
         right = continuation(pk_ells[..., -1], pk_ells[..., -2],
                              jnp.arange(1, pad_r + 1))
-        del delta
         return jnp.concatenate([left, pk_ells, right], axis=-1)
 
     # ------------------------------------------------------------------
