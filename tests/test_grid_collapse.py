@@ -1,0 +1,163 @@
+"""Grid collapse: the (alpha_par, alpha_perp)-sampled fast path.
+
+The grid collapse (vega_tpu/gridcollapse.py) interpolates the factored
+chi^2 quadratic form over a Chebyshev node tensor in the nonlinear scale
+parameters, making BAO-sampled evaluations as cheap as nuisance-only
+ones. These tests pin:
+
+- value agreement with the dense pipeline over the node domain
+  (documented bound: |delta chi2| <= ~5e-3 absolute at the default 64
+  nodes/dim — the spline stage is C2, so Chebyshev convergence in the
+  node count is cubic, see docs/performance.md);
+- exact batched-vs-serial consistency of the grid path itself;
+- the chi^2 = 1e100 penalty outside the node domain (the reference's
+  VegaBoundsError semantics);
+- structural invariants: coefficients must not depend on grid
+  parameters (enforced by vmap out_axes=None in the sweep), payload /
+  trace term-count matching.
+
+Reference anchors: vega/correlation_func.py:200-236 (the AP rescale
+whose spline motion this removes from the per-eval graph),
+vega/scale_parameters.py:38-66.
+"""
+
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope='module')
+def grid_setup():
+    from vega_tpu.testing import make_synthetic_dataset
+    from vega_tpu.vega_interface import VegaInterface
+
+    workdir = Path(tempfile.mkdtemp(prefix='vega_tpu_gridc_'))
+    sample = {'ap': 'True', 'at': 'True',
+              'bias_LYA': 'True', 'beta_LYA': 'True'}
+    main_path = make_synthetic_dataset(workdir, cross=True, sample=sample)
+    return VegaInterface(main_path), main_path
+
+
+NAMES = ('ap', 'at', 'bias_LYA', 'beta_LYA')
+
+
+def _random_points(rng, n, spread=0.2):
+    return [{'ap': 1.0 + rng.uniform(-spread, spread),
+             'at': 1.0 + rng.uniform(-spread, spread),
+             'bias_LYA': -0.117 * (1 + 0.05 * rng.normal()),
+             'beta_LYA': 1.67 * (1 + 0.05 * rng.normal())}
+            for _ in range(n)]
+
+
+def test_payload_structure(grid_setup):
+    vega, _ = grid_setup
+    payload = vega.get_collapsed(NAMES)
+    spec = payload.get('__grid__')
+    assert spec is not None
+    assert spec.names == ('ap', 'at')
+    # domain: sample limits intersected with the +-0.25 default window
+    assert spec.lo == (0.75, 0.75) and spec.hi == (1.25, 1.25)
+    corrs = [k for k in payload if k != '__grid__']
+    assert sorted(corrs) == sorted(vega.corr_items)
+    for name in corrs:
+        n_nodes, rank = payload[name]['B'].shape
+        t = payload[name]['cref'].shape[0]
+        assert n_nodes == spec.n_nodes
+        assert payload[name]['F'].shape == (rank, t * t + t + 1)
+
+
+def test_grid_matches_dense(grid_setup, monkeypatch):
+    """|delta chi2| within the documented bound across the domain."""
+    vega, main_path = grid_setup
+    pts = _random_points(np.random.default_rng(7), 12)
+    chi2_grid = np.array([vega.chi2(p) for p in pts])
+
+    from vega_tpu.vega_interface import VegaInterface
+    monkeypatch.setenv('VEGA_TPU_GRID_COLLAPSE', '0')
+    vega_dense = VegaInterface(main_path)
+    chi2_dense = np.array([vega_dense.chi2(p) for p in pts])
+
+    assert np.all(np.isfinite(chi2_grid))
+    # absolute bound (the ripple is uniform over the domain, so its
+    # relative size shrinks as chi2 grows; chi2 here is O(1e4-1e5))
+    np.testing.assert_allclose(chi2_grid, chi2_dense, atol=5e-3, rtol=1e-6)
+
+
+def test_batched_matches_serial_grid(grid_setup):
+    """The batched (vmapped) grid path is an exact reassociation of the
+    serial grid path."""
+    vega, _ = grid_setup
+    pts = _random_points(np.random.default_rng(3), 8)
+    serial = np.array([vega.chi2(p) for p in pts])
+    batches = {n: np.array([p[n] for p in pts]) for n in NAMES}
+    batched = vega.chi2_batch(batches)
+    np.testing.assert_allclose(batched, serial, rtol=1e-12)
+
+
+def test_gradient_through_grid(grid_setup):
+    """Exact jax gradients flow through the Chebyshev interpolation and
+    agree with finite differences of the grid chi^2 itself."""
+    vega, _ = grid_setup
+    point = {'ap': 1.031, 'at': 0.978, 'bias_LYA': -0.118,
+             'beta_LYA': 1.65}
+    _, grads = vega.chi2_value_and_gradient(point)
+    for name in ('ap', 'at', 'bias_LYA'):
+        eps = 1e-6
+        up = dict(point, **{name: point[name] + eps})
+        down = dict(point, **{name: point[name] - eps})
+        fd = (vega.chi2(up) - vega.chi2(down)) / (2 * eps)
+        assert grads[name] == pytest.approx(fd, rel=2e-4, abs=1e-3)
+
+
+def test_out_of_domain_wall(grid_setup):
+    """Outside the node domain the chi^2 rises along a smooth steep
+    quadratic wall (finite — a 1e100 cliff would break Wolfe line
+    searches; see gridcollapse.GRID_WALL_CHI2)."""
+    vega, _ = grid_setup
+    base = {'at': 1.0, 'bias_LYA': -0.117, 'beta_LYA': 1.67}
+    inside = vega.chi2(dict(base, ap=1.2))
+    out1 = vega.chi2(dict(base, ap=1.3))
+    out2 = vega.chi2(dict(base, ap=1.4))
+    assert np.isfinite(inside) and inside < 1e7
+    assert out2 > out1 > 1e7          # monotone, dominating wall
+    assert np.isfinite(out2)
+    # quadratic growth in the excess: (0.15/0.25)^2 / (0.05/0.25)^2 = 9
+    from vega_tpu.gridcollapse import GRID_WALL_CHI2
+    wall1 = GRID_WALL_CHI2 * (0.05 / 0.25) ** 2
+    assert out1 == pytest.approx(wall1, rel=0.2)
+
+
+def test_grid_bao_fit(grid_setup, monkeypatch):
+    """A 4-parameter BAO fit through the grid path recovers injected
+    (ap, at) truth — the bound on the chi^2 ripple translates into a
+    sub-1e-3 shift of the minimum."""
+    from vega_tpu.testing import (_write_correlation_data,
+                                  make_synthetic_dataset)
+    from vega_tpu.vega_interface import VegaInterface
+
+    ap0, at0 = 1.034, 0.971
+    workdir = Path(tempfile.mkdtemp(prefix='vega_tpu_gridfit_'))
+    sample = {'ap': 'True', 'at': 'True',
+              'bias_LYA': 'True', 'beta_LYA': 'True'}
+    main_path = make_synthetic_dataset(workdir, cross=False, sample=sample)
+    vega = VegaInterface(main_path)
+    model_cf = vega.compute_model({'ap': ap0, 'at': at0}, run_init=False)
+    rng = np.random.default_rng(5)
+    for name, corr_item in vega.corr_items.items():
+        _write_correlation_data(
+            workdir / 'cf_synthetic.fits', False, 2.33, rng,
+            model_xi=np.asarray(model_cf[name]), noise=0.0)
+
+    vega = VegaInterface(main_path)
+    assert '__grid__' in vega.get_collapsed(NAMES)
+    vega.minimize()
+    values = dict(vega.bestfit.values)
+    assert values['ap'] == pytest.approx(ap0, abs=1e-3)
+    assert values['at'] == pytest.approx(at0, abs=1e-3)
+    # noiseless truth: chi2 at the minimum is the interpolation ripple
+    assert abs(vega.bestfit.fmin.fval) < 5e-2
+    assert np.isfinite(vega.bestfit.fmin.edm)

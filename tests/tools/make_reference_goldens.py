@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Run the ACTUAL reference (andreicuceu/vega at /root/reference) through
+the dependency shims (tests/refshims) and record golden values for
+vega_tpu's parity tests.
+
+Produces tests/data/reference_goldens.json with:
+- chi2 / log_lik of the reference at a set of parameter points on the
+  DR16-subset 4-correlation config (tests/full_configs/main.ini),
+  INCLUDING points with (ap, at) != 1 — turning the transcribed-constant
+  oracles into values measured from a live reference run (VERDICT round
+  2, missing item 2);
+- a tightly-converged best-fit of (ap, at, bias_eta_LYA, beta_LYA) found
+  by scipy (Nelder-Mead polish on L-BFGS-B with tight tolerances)
+  driving the reference's own chi2 callable.
+
+Usage:  python tests/tools/make_reference_goldens.py [output.json]
+"""
+
+import json
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[2]
+REFERENCE = Path(os.environ.get('VEGA_REFERENCE', '/root/reference'))
+
+# Parameter points evaluated by the golden run. The first entry is the
+# reference test's own configuration-default point (tests/test_vega.py);
+# the rest vary the BAO scale parameters and the main nuisances.
+POINTS = [
+    {},
+    {'ap': 1.05, 'at': 0.95},
+    {'ap': 0.93, 'at': 1.08},
+    {'ap': 1.11, 'at': 1.13, 'bias_eta_LYA': -0.21, 'beta_LYA': 1.55},
+    {'ap': 0.85, 'at': 0.9, 'bias_eta_LYA': -0.19},
+    {'bias_eta_LYA': -0.23, 'beta_LYA': 1.8, 'bias_hcd': -0.06},
+    {'ap': 1.02, 'at': 0.99, 'sigmaNL_par': 6.5, 'sigmaNL_per': 3.0},
+]
+
+FIT_NAMES = ['ap', 'at', 'bias_eta_LYA', 'beta_LYA']
+FIT_BOUNDS = {'ap': (0.8, 1.2), 'at': (0.8, 1.2),
+              'bias_eta_LYA': (-0.5, 0.0), 'beta_LYA': (0.5, 5.0)}
+
+
+def main(out_path=None):
+    sys.path.insert(0, str(REPO / 'tests' / 'refshims'))
+    sys.path.insert(0, str(REFERENCE))
+
+    os.chdir(REFERENCE / 'tests')
+    from vega import VegaInterface
+
+    vega = VegaInterface('full_configs/main.ini')
+
+    goldens = {'points': []}
+    for point in POINTS:
+        goldens['points'].append({
+            'params': point,
+            'chi2': float(vega.chi2(point)),
+            'log_lik': float(vega.log_lik(point)),
+        })
+
+    # Tightly-converged best fit via scipy on the reference's chi2
+    import numpy as np
+    from scipy.optimize import minimize
+
+    defaults = {name: float(vega.params[name]) for name in FIT_NAMES}
+
+    def chi2_of(x):
+        return float(vega.chi2(dict(zip(FIT_NAMES, (float(v)
+                                                    for v in x)))))
+
+    x0 = np.array([defaults[n] for n in FIT_NAMES])
+    res = minimize(chi2_of, x0, method='L-BFGS-B',
+                   bounds=[FIT_BOUNDS[n] for n in FIT_NAMES],
+                   options={'ftol': 1e-15, 'gtol': 1e-10, 'maxfun': 20000})
+    res2 = minimize(chi2_of, res.x, method='Nelder-Mead',
+                    options={'xatol': 1e-9, 'fatol': 1e-12,
+                             'maxfev': 20000})
+    best = res2 if res2.fun <= res.fun else res
+    goldens['bao_fit'] = {
+        'names': FIT_NAMES,
+        'values': [float(v) for v in best.x],
+        'fval': float(best.fun),
+        'nfev': int(res.nfev) + int(res2.nfev),
+    }
+
+    out = Path(out_path) if out_path else (
+        REPO / 'tests' / 'data' / 'reference_goldens.json')
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(goldens, indent=1))
+    print(f'wrote {out}')
+    for entry in goldens['points']:
+        print(entry['params'], '->', entry['chi2'])
+    print('bao fit:', goldens['bao_fit'])
+
+
+if __name__ == '__main__':
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

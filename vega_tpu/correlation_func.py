@@ -148,8 +148,9 @@ class CorrelationFunction:
         if self.uv_shotnoise_flag:
             # amplitude (bias_gamma^2 * amp * lambda_uv) is linear; the
             # shape reads lambda_uv and possibly the rescaled coords
-            if isinstance(xi, FactoredXi) and not has_tracer(
-                    params['lambda_uv']):
+            from .factored import keyed_tracer
+            if isinstance(xi, FactoredXi) and not keyed_tracer(
+                    'lambda_uv', params['lambda_uv']):
                 lam = params['lambda_uv']
                 r = (jnp.sqrt(rescaled_r ** 2 + rescaled_mu ** 2)
                      if self._rescale_coords_systematics
@@ -174,21 +175,26 @@ class CorrelationFunction:
     def compute_core(self, pk, pktoxi_obj, params):
         """Hankel transform + AP rescaling (reference:
         correlation_func.py:163-198)."""
-        from .factored import has_tracer
+        from .factored import RecordingParams
 
+        # The recording view tracks WHICH parameters the rescaling read,
+        # so tracers of designated grid parameters (grid-collapse sweeps,
+        # vega_tpu/gridcollapse.py) count as row-safe: the transform
+        # stays factored with basis rows that are functions of (ap, at).
+        rec = RecordingParams(params)
         delta_rp = 0.
         if self._delta_rp_name is not None:
-            delta_rp = params.get(self._delta_rp_name, 0.)
+            delta_rp = rec.get(self._delta_rp_name, 0.)
 
         ap, at = self._scale_params.get_ap_at(
-            params, corr_name=self._corr_name, metal_corr=self._metal_corr)
+            rec, corr_name=self._corr_name, metal_corr=self._metal_corr)
 
         rescaled_r, rescaled_mu = self._rescale_coords(
             self._r, self._mu, ap, at, delta_rp)
 
         xi, bad = pktoxi_obj.compute(
             rescaled_r, rescaled_mu, pk, self._multipole,
-            coords_param_free=not has_tracer(ap, at, delta_rp))
+            coords_param_free=not rec.traced())
         return xi, rescaled_r, rescaled_mu, bad
 
     @staticmethod

@@ -21,103 +21,65 @@ BLINDING_STRATEGIES = ['desi_dr3']
 
 
 class Data:
-    """Data for one correlation component (reference: data.py:12-134)."""
+    """Data for one correlation component (reference: data.py:12-134).
 
-    _data_vec = None
-    _masked_data_vec = None
-    _cov_mat = None
-    _distortion_mat = None
-    _inv_masked_cov = None
-    _log_cov_det = None
-    _blind = None
-    _blinding_strat = None
-    cosmo_params = None
-    dist_model_coordinates = None
-    model_coordinates = None
-    data_coordinates = None
+    Public surface: `data_vec` / `masked_data_vec`, `cov_mat` /
+    `inv_masked_cov` / `log_cov_det`, `distortion_mat`, the scale-cut
+    masks, blinding flags, mock generation and the marginalization
+    matrices. Everything heavy (inverse covariance, log-determinant) is
+    computed lazily on first access.
+    """
 
     def __init__(self, corr_item, marginalize_in_fit=False):
         self.corr_item = corr_item
         self.tracer1 = corr_item.tracer1
         self.tracer2 = corr_item.tracer2
-        self.use_metal_autos = corr_item.config['model'].getboolean(
+        config = corr_item.config
+        self.use_metal_autos = config['model'].getboolean(
             'use_metal_autos', True)
-        self.cholesky_masked_cov = corr_item.config['data'].getboolean(
+        self.cholesky_masked_cov = config['data'].getboolean(
             'cholesky-masked-cov', True)
 
-        data_path = corr_item.config['data'].get('filename')
-        dmat_path = corr_item.config['data'].get('distortion-file', None)
-        cov_path = corr_item.config['data'].get('covariance-file', None)
-        cov_rescale = corr_item.config['data'].getfloat('cov_rescale', None)
+        # lazily-built quantities
+        self.data_vec = None
+        self._masked_data_vec = None
+        self._cov_mat = None
+        self._distortion_mat = None
+        self._inv_masked_cov = None
+        self._log_cov_det = None
+        self.blind = None
+        self.blinding_strat = None
+        self.cosmo_params = None
+        self.data_coordinates = None
+        self.model_coordinates = None
+        self.dist_model_coordinates = None
 
-        self._read_data(data_path, corr_item.config['cuts'], dmat_path,
-                        cov_path, cov_rescale)
-        self.corr_item.init_coordinates(
-            self.model_coordinates, self.dist_model_coordinates,
-            self.data_coordinates)
+        self._read_data(config['data'].get('filename'), config['cuts'],
+                        config['data'].get('distortion-file', None),
+                        config['data'].get('covariance-file', None),
+                        config['data'].getfloat('cov_rescale', None))
+        corr_item.init_coordinates(self.model_coordinates,
+                                   self.dist_model_coordinates,
+                                   self.data_coordinates)
+        self._wire_corr_item(corr_item)
 
-        if 'metals' in corr_item.config:
-            if not corr_item.new_metals:
-                tracer_catalog, metal_correlations = self._init_metals(
-                    corr_item.config['metals'])
-            else:
-                in1, in2, tracer_catalog = self._init_metal_tracers(
-                    corr_item.config['metals'])
-                metal_correlations = self._init_metal_correlations(
-                    corr_item.config['metals'], in1, in2)
-            self.corr_item.init_metals(tracer_catalog, metal_correlations)
-
-        if 'broadband' in corr_item.config:
-            self.corr_item.init_broadband(self.coeff_binning_model)
-
-        if self.cosmo_params is not None:
-            self.corr_item.init_cosmo(self.cosmo_params)
-
-        if not self.has_distortion:
+        # absent matrices become exact identities (the model layer skips
+        # identity matmuls entirely, model.py is_identity)
+        if self._distortion_mat is None:
             self._distortion_mat = np.eye(self.full_data_size)
-        if not self.has_cov_mat and not self.corr_item.low_mem_mode:
+        low_mem = corr_item.low_mem_mode
+        if self._cov_mat is None and not low_mem:
             self._cov_mat = np.eye(self.full_data_size)
+        self.variance = (np.ones(self.full_data_size) if low_mem
+                         else self.cov_mat.diagonal().copy())
+        self.cov_mat_org = None if low_mem else self.cov_mat.copy()
 
-        if self.corr_item.low_mem_mode:
-            self.variance = np.ones(self.full_data_size)
-        else:
-            self.variance = self.cov_mat.diagonal().copy()
-
-        self.cov_mat_org = None
         self.marg_templates = None
         self.cov_marg_update = None
         self.marg_diff2coeff_matrix = None
         self.num_marg_modes = 0
-        if not self.corr_item.low_mem_mode:
-            self.cov_mat_org = self.cov_mat.copy()
-
-        # Small-scale marginalization setup (reference: data.py:96-128)
         if corr_item.marginalize_small_scales:
-            self.marg_templates, self.cov_marg_update = \
-                self.get_dist_xi_marg_templates()
-
-            ntemps = self.marg_templates.shape[1]
-
-            self._inv_masked_cov = None
-            _inv_masked_cov = self.inv_masked_cov
-            self._inv_masked_cov = None
-
-            if not marginalize_in_fit:
-                self._cov_mat[np.ix_(self.data_mask, self.data_mask)] += \
-                    self.cov_marg_update
-            else:
-                self.cov_marg_update = None
-
-            templates_masked = self.marg_templates[self.model_mask, :]
-            g_mat = templates_masked.T.dot(_inv_masked_cov)
-            a_mat = templates_masked.T.dot(g_mat.T).T
-
-            if not (self.corr_item.fit_marg_scales
-                    and self.corr_item.marginalize_match_data_bins):
-                prior = self.corr_item.marginalize_small_scales_prior_sigma
-                a_mat = a_mat + np.diag(np.full(ntemps, prior ** -2))
-
-            self.marg_diff2coeff_matrix = np.linalg.inv(a_mat).dot(g_mat)
+            self._init_marginalization(marginalize_in_fit)
 
         self._cholesky = None
         self._scale = 1.
@@ -125,20 +87,70 @@ class Data:
         self.scaled_log_cov_det = None
         self.effective_data_size = self.data_size - self.num_marg_modes
 
+    def _wire_corr_item(self, corr_item):
+        """Hand the read products to the CorrelationItem (metal grids and
+        matrices, broadband binning, cosmology from the FITS header)."""
+        if 'metals' in corr_item.config:
+            metal_config = corr_item.config['metals']
+            if corr_item.new_metals:
+                in1, in2, catalog = self._init_metal_tracers(metal_config)
+                pairs = self._init_metal_correlations(metal_config, in1, in2)
+            else:
+                catalog, pairs = self._init_metals(metal_config)
+            corr_item.init_metals(catalog, pairs)
+        if 'broadband' in corr_item.config:
+            corr_item.init_broadband(self.coeff_binning_model)
+        if self.cosmo_params is not None:
+            corr_item.init_cosmo(self.cosmo_params)
+
+    def _init_marginalization(self, marginalize_in_fit):
+        """Small-scale marginalization: distorted templates, the
+        cov-update term and the diff -> coefficient solve matrix
+        (reference: data.py:96-128)."""
+        self.marg_templates, self.cov_marg_update = \
+            self.get_dist_xi_marg_templates()
+
+        # inverse of the PRE-update covariance (get_dist_xi_marg_templates
+        # may have widened the masks, so reset the lazy inverse first)
+        self._inv_masked_cov = None
+        invcov_pre = self.inv_masked_cov
+        self._inv_masked_cov = None
+
+        if marginalize_in_fit:
+            self.cov_marg_update = None
+        else:
+            self._cov_mat[np.ix_(self.data_mask, self.data_mask)] += \
+                self.cov_marg_update
+
+        # diff -> best-fit template coefficients: (T' Ci T + P)^-1 T' Ci
+        templates_masked = self.marg_templates[self.model_mask, :]
+        g_mat = templates_masked.T.dot(invcov_pre)
+        a_mat = templates_masked.T.dot(g_mat.T).T
+        if not (self.corr_item.fit_marg_scales
+                and self.corr_item.marginalize_match_data_bins):
+            prior = self.corr_item.marginalize_small_scales_prior_sigma
+            a_mat = a_mat + np.diag(np.full(
+                self.marg_templates.shape[1], prior ** -2))
+        self.marg_diff2coeff_matrix = np.linalg.inv(a_mat).dot(g_mat)
+
     # ------------------------------------------------------------------
-    # Properties (reference: data.py:136-283)
+    # Lazy views (reference: data.py:136-283)
     # ------------------------------------------------------------------
-    @property
-    def blind(self):
-        return self._blind
+    def _require(self, attr, kind):
+        mat = getattr(self, attr)
+        if mat is None:
+            raise AttributeError(
+                f'No {kind} found. Check the data file: ',
+                self.corr_item.config['data'].get('filename'))
+        return mat
 
     @property
-    def blinding_strat(self):
-        return self._blinding_strat
+    def cov_mat(self):
+        return self._require('_cov_mat', 'covariance matrix')
 
     @property
-    def data_vec(self):
-        return self._data_vec
+    def distortion_mat(self):
+        return self._require('_distortion_mat', 'distortion matrix')
 
     @property
     def masked_data_vec(self):
@@ -149,22 +161,6 @@ class Data:
     @property
     def data_size(self):
         return self.masked_data_vec.size
-
-    @property
-    def cov_mat(self):
-        if self._cov_mat is None:
-            raise AttributeError(
-                'No covariance matrix found. Check the data file: ',
-                self.corr_item.config['data'].get('filename'))
-        return self._cov_mat
-
-    @property
-    def distortion_mat(self):
-        if self._distortion_mat is None:
-            raise AttributeError(
-                'No distortion matrix found. Check the data file: ',
-                self.corr_item.config['data'].get('filename'))
-        return self._distortion_mat
 
     @property
     def inv_masked_cov(self):
@@ -195,6 +191,48 @@ class Data:
     # ------------------------------------------------------------------
     # Reading (reference: data.py:285-473)
     # ------------------------------------------------------------------
+    @staticmethod
+    def _column(hdu_columns, *names, required=False):
+        """First present column among names as float, else None."""
+        for name in names:
+            if name in hdu_columns:
+                return hdu_columns[name].astype(float)
+        if required:
+            raise ValueError(
+                f'None of the columns {names} found in FITS file.')
+        return None
+
+    @staticmethod
+    def _coords(header, np_factor=1, **grids):
+        """Coordinates from a picca-export header's binning keywords."""
+        return Coordinates(
+            header['RPMIN'], header['RPMAX'], header['RTMAX'],
+            header['NP'] * np_factor, header['NT'] * np_factor, **grids)
+
+    def _load_data_vector(self, columns, data_path):
+        """Blinding-strategy-aware DA/DA_BLIND selection (reference:
+        data.py:301-340). Sets blind, blinding_strat, data_vec."""
+        strat = self.blinding_strat
+        if strat is None or strat in ('desi_m2', 'desi_y1', 'desi_y3'):
+            # no blinding, or analysis-level blinding handled through
+            # parameter offsets (utils.apply_blinding): plain DA
+            self.blind = False
+            self.data_vec = self._column(columns, 'DA', required=True)
+            return
+        if strat not in BLINDING_STRATEGIES:
+            self.blind = True
+            raise ValueError(f'Unknown blinding strategy {strat}.')
+        # data-level blinding: the blinded column is mandatory for dr3
+        print(f'Strategy: {strat}')
+        self.blind = True
+        if strat == 'desi_dr3':
+            assert 'DA_BLIND' in columns, 'Blinding failed, do not run!!!'
+        if 'DA_BLIND' in columns:
+            print(f'Warning! Running on blinded data {data_path}')
+        self.data_vec = self._column(columns, 'DA_BLIND', 'DA')
+        if self.data_vec is None:
+            raise ValueError('No DA or DA_BLIND column in data file.')
+
     def _read_data(self, data_path, cuts_config, dmat_path=None,
                    cov_path=None, cov_rescale=None):
         print(f'Reading data file {data_path}')
@@ -202,103 +240,55 @@ class Data:
         header = hdul[1].header
         columns = hdul[1].columns
 
-        self._blinding_strat = None
-        if 'BLINDING' in header:
-            self._blinding_strat = header['BLINDING']
-            if self._blinding_strat in ('none', 'None'):
-                self._blinding_strat = None
+        strat = header.get('BLINDING', None)
+        self.blinding_strat = None if strat in (None, 'none', 'None') \
+            else strat
+        self._load_data_vector(columns, data_path)
+        self.full_data_size = len(self.data_vec)
 
-        if self._blinding_strat in BLINDING_STRATEGIES:
-            print(f'Strategy: {self._blinding_strat}')
-            self._blind = True
-            if self._blinding_strat == 'desi_dr3':
-                assert 'DA_BLIND' in columns, 'Blinding failed, do not run!!!'
-            if 'DA_BLIND' in columns:
-                print(f'Warning! Running on blinded data {data_path}')
-                self._data_vec = columns['DA_BLIND'].astype(float)
-            elif 'DA' in columns:
-                self._data_vec = columns['DA'].astype(float)
-            else:
-                raise ValueError('No DA or DA_BLIND column in data file.')
-        elif self._blinding_strat is None:
-            self._blind = False
-            self._data_vec = columns['DA'].astype(float)
-        elif self._blinding_strat in ['desi_m2', 'desi_y1', 'desi_y3']:
-            self._blind = False
-            self._data_vec = columns['DA'].astype(float)
-        else:
-            self._blind = True
-            raise ValueError(
-                f'Unknown blinding strategy {self._blinding_strat}.')
-
+        # inline distortion / covariance (separate files override below)
         if dmat_path is None:
-            if 'DM_BLIND' in columns:
-                self._distortion_mat = columns['DM_BLIND'].astype(float)
-            elif 'DM' in columns:
-                self._distortion_mat = columns['DM'].astype(float)
-
+            self._distortion_mat = self._column(columns, 'DM_BLIND', 'DM')
         if cov_path is not None:
             print(f'Reading covariance matrix file {cov_path}')
-            cov_hdul = read_fits(find_file(cov_path))
-            self._cov_mat = cov_hdul[1]['CO'].astype(float)
-        elif 'CO' in columns:
-            self._cov_mat = columns['CO'].astype(float)
-
+            self._cov_mat = read_fits(
+                find_file(cov_path))[1]['CO'].astype(float)
+        else:
+            self._cov_mat = self._column(columns, 'CO')
         if cov_rescale is not None and self._cov_mat is not None:
             self._cov_mat = self._cov_mat * cov_rescale
 
         if 'OMEGAM' in header:
-            self.cosmo_params = {
-                'Omega_m': header['OMEGAM'],
-                'Omega_k': header.get('OMEGAK', 0.),
-                'Omega_r': header.get('OMEGAR', 0.),
-                'wl': header.get('WL', -1.),
-            }
-
+            self.cosmo_params = dict(
+                Omega_m=header['OMEGAM'], Omega_k=header.get('OMEGAK', 0.),
+                Omega_r=header.get('OMEGAR', 0.), wl=header.get('WL', -1.))
         self.nb = columns['NB'] if 'NB' in columns else None
 
-        self.data_coordinates = Coordinates(
-            header['RPMIN'], header['RPMAX'], header['RTMAX'],
-            header['NP'], header['NT'],
-            rp_grid=columns['RP'], rt_grid=columns['RT'],
+        self.data_coordinates = self._coords(
+            header, rp_grid=columns['RP'], rt_grid=columns['RT'],
             z_grid=columns['Z'])
-
-        if dmat_path is None:
-            if len(hdul) > 2:
-                self.model_coordinates = Coordinates(
-                    header['RPMIN'], header['RPMAX'], header['RTMAX'],
-                    header['NP'], header['NT'],
-                    rp_grid=hdul[2]['DMRP'], rt_grid=hdul[2]['DMRT'],
-                    z_grid=hdul[2]['DMZ'])
-            self.coeff_binning_model = 1
-
         self.data_mask = self.data_coordinates.get_mask_scale_cuts(cuts_config)
 
         if dmat_path is not None:
             self._read_dmat(dmat_path)
-
-        if self.model_coordinates is None:
-            self.model_coordinates = self.data_coordinates
-        if self.dist_model_coordinates is None:
-            self.dist_model_coordinates = self.model_coordinates
-
+        else:
+            self.coeff_binning_model = 1
+            if len(hdul) > 2:
+                # model grid shipped alongside the inline DM
+                self.model_coordinates = self._coords(
+                    header, rp_grid=hdul[2]['DMRP'],
+                    rt_grid=hdul[2]['DMRT'], z_grid=hdul[2]['DMZ'])
+        self.model_coordinates = (self.model_coordinates
+                                  or self.data_coordinates)
+        self.dist_model_coordinates = (self.dist_model_coordinates
+                                       or self.model_coordinates)
         self.model_mask = self.dist_model_coordinates.get_mask_scale_cuts(
             cuts_config)
-        self.full_data_size = len(self.data_vec)
 
-        self.r_min_cut = cuts_config.getfloat('r-min', 10.)
-        self.r_max_cut = cuts_config.getfloat('r-max', 180.)
-        self.mu_min_cut = cuts_config.getfloat('mu-min', -1.)
-        self.mu_max_cut = cuts_config.getfloat('mu-max', +1.)
-
-    def _check_if_blinding_matches(self, blinding_flag, dmat_path):
-        if self._blinding_strat is None:
-            if blinding_flag not in ('none', 'None'):
-                print(f'Warning: Data has no blinding, but distortion matrix '
-                      f'at {dmat_path} has a blinding flag {blinding_flag}')
-        elif self._blinding_strat != blinding_flag:
-            print(f'Warning: Data blinding flag does not match the '
-                  f'distortion matrix at {dmat_path} ({blinding_flag})')
+        for attr, option, default in (
+                ('r_min_cut', 'r-min', 10.), ('r_max_cut', 'r-max', 180.),
+                ('mu_min_cut', 'mu-min', -1.), ('mu_max_cut', 'mu-max', 1.)):
+            setattr(self, attr, cuts_config.getfloat(option, default))
 
     def _read_dmat(self, dmat_path):
         """Separate distortion-matrix file (reference: data.py:441-473)."""
@@ -306,120 +296,91 @@ class Data:
         hdul = read_fits(find_file(dmat_path))
         header = hdul[1].header
 
-        if 'BLINDING' in header:
-            self._check_if_blinding_matches(header['BLINDING'], dmat_path)
+        dmat_strat = header.get('BLINDING', None)
+        if dmat_strat is not None and dmat_strat != self.blinding_strat:
+            if self.blinding_strat is None and dmat_strat in ('none', 'None'):
+                pass
+            else:
+                print(f'Warning: data blinding ({self.blinding_strat}) does '
+                      f'not match the distortion matrix at {dmat_path} '
+                      f'({dmat_strat})')
 
-        if 'DM' in hdul[1].columns:
-            self._distortion_mat = hdul[1]['DM'].astype(float)
-        elif 'DM_BLIND' in hdul[1].columns:
-            self._distortion_mat = hdul[1]['DM_BLIND'].astype(float)
-        else:
+        self._distortion_mat = self._column(hdul[1].columns, 'DM', 'DM_BLIND')
+        if self._distortion_mat is None:
             raise ValueError('No DM or DM_BLIND column in distortion file.')
 
         self.coeff_binning_model = header['COEFMOD']
-        self.model_coordinates = Coordinates(
-            header['RPMIN'], header['RPMAX'], header['RTMAX'],
-            header['NP'] * self.coeff_binning_model,
-            header['NT'] * self.coeff_binning_model,
-            rp_grid=hdul[2]['RP'], rt_grid=hdul[2]['RT'], z_grid=hdul[2]['Z'])
-        self.dist_model_coordinates = Coordinates(
-            header['RPMIN'], header['RPMAX'], header['RTMAX'],
-            header['NP'], header['NT'])
+        self.model_coordinates = self._coords(
+            header, np_factor=self.coeff_binning_model,
+            rp_grid=hdul[2]['RP'], rt_grid=hdul[2]['RT'],
+            z_grid=hdul[2]['Z'])
+        self.dist_model_coordinates = self._coords(header)
 
     # ------------------------------------------------------------------
     # Metals (reference: data.py:475-687)
     # ------------------------------------------------------------------
-    def _init_metal_tracers(self, metal_config):
-        assert ('in tracer1' in metal_config) or ('in tracer2' in metal_config), \
+    def _metal_lists(self, metal_config):
+        """The 'in tracer1' / 'in tracer2' metal name lists (None when
+        the side is absent)."""
+        assert ('in tracer1' in metal_config) \
+            or ('in tracer2' in metal_config), \
             "The metals config must specify 'in tracer1' and/or 'in tracer2'"
-        metals_in_tracer1 = None
-        metals_in_tracer2 = None
-        if 'in tracer1' in metal_config:
-            metals_in_tracer1 = metal_config.get('in tracer1').split()
-        if 'in tracer2' in metal_config:
-            metals_in_tracer2 = metal_config.get('in tracer2').split()
+        return tuple(
+            metal_config.get(side).split() if side in metal_config else None
+            for side in ('in tracer1', 'in tracer2'))
 
+    def _init_metal_tracers(self, metal_config):
+        in1, in2 = self._metal_lists(metal_config)
         tracer_catalog = {
             self.tracer1['name']: self.tracer1,
             self.tracer2['name']: self.tracer2,
         }
-        for metals in (metals_in_tracer1, metals_in_tracer2):
-            if metals is not None:
-                for metal in metals:
-                    tracer_catalog[metal] = {'name': metal,
-                                             'type': 'continuous'}
-        return metals_in_tracer1, metals_in_tracer2, tracer_catalog
+        for metal in (in1 or []) + (in2 or []):
+            tracer_catalog[metal] = {'name': metal, 'type': 'continuous'}
+        return in1, in2, tracer_catalog
+
+    def _metal_pairs(self, in1, in2):
+        """Every metal correlation pair this component needs, in the
+        reference's order: main1 x (in2), (in1) x main2, then the
+        metal x metal block with the symmetric half skipped for autos
+        (reference: data.py:556-630 loop structure)."""
+        pairs = []
+        for metal in in2 or []:
+            pairs.append((self.tracer1['name'], metal))
+        for metal in in1 or []:
+            pairs.append((metal, self.tracer2['name']))
+        if in1 and in2:
+            is_auto = self.tracer1 == self.tracer2
+            for i, metal1 in enumerate(in1):
+                for metal2 in in2[i if is_auto else 0:]:
+                    pairs.append((metal1, metal2))
+        return [p for p in pairs if self._use_correlation(*p)]
 
     def _init_metal_correlations(self, metal_config, in1, in2):
-        metal_correlations = []
-        if 'in tracer2' in metal_config:
-            for metal in in2:
-                if self._use_correlation(self.tracer1['name'], metal):
-                    metal_correlations.append((self.tracer1['name'], metal))
-        if 'in tracer1' in metal_config:
-            for metal in in1:
-                if self._use_correlation(metal, self.tracer2['name']):
-                    metal_correlations.append((metal, self.tracer2['name']))
-        if ('in tracer1' in metal_config) and ('in tracer2' in metal_config):
-            for i, metal1 in enumerate(in1):
-                j0 = i if self.tracer1 == self.tracer2 else 0
-                for metal2 in in2[j0:]:
-                    if self._use_correlation(metal1, metal2):
-                        metal_correlations.append((metal1, metal2))
-        return metal_correlations
+        """Pair list only (new-metals mode: matrices are computed, not
+        read)."""
+        return self._metal_pairs(in1, in2)
 
     def _init_metals(self, metal_config):
+        """Legacy mode: metal distortion matrices read from a picca
+        metal FITS file."""
         in1, in2, tracer_catalog = self._init_metal_tracers(metal_config)
 
         self.metal_mats = {}
         self.metal_coordinates = {}
 
         metal_hdul = read_fits(find_file(metal_config.get('filename')))
+        blinded = metal_hdul[1].header.get('BLINDING', 'none') != 'none'
+        dm_prefix = 'DM_BLIND_' if blinded else 'DM_'
 
-        dm_prefix = 'DM_'
-        if 'BLINDING' in metal_hdul[1].header:
-            if metal_hdul[1].header['BLINDING'] != 'none':
-                dm_prefix = 'DM_BLIND_'
-
-        metal_correlations = []
-        if 'in tracer2' in metal_config:
-            for metal in in2:
-                if not self._use_correlation(self.tracer1['name'], metal):
-                    continue
-                tracers = (self.tracer1['name'], metal)
-                name = self.tracer1['name'] + '_' + metal
-                if 'RP_' + name not in metal_hdul[2].columns:
-                    name = metal + '_' + self.tracer1['name']
-                self._read_metal_correlation(metal_hdul, tracers, name,
-                                             dm_prefix)
-                metal_correlations.append(tracers)
-
-        if 'in tracer1' in metal_config:
-            for metal in in1:
-                if not self._use_correlation(metal, self.tracer2['name']):
-                    continue
-                tracers = (metal, self.tracer2['name'])
-                name = metal + '_' + self.tracer2['name']
-                if 'RP_' + name not in metal_hdul[2].columns:
-                    name = self.tracer2['name'] + '_' + metal
-                self._read_metal_correlation(metal_hdul, tracers, name,
-                                             dm_prefix)
-                metal_correlations.append(tracers)
-
-        if ('in tracer1' in metal_config) and ('in tracer2' in metal_config):
-            for i, metal1 in enumerate(in1):
-                j0 = i if self.tracer1 == self.tracer2 else 0
-                for metal2 in in2[j0:]:
-                    if not self._use_correlation(metal1, metal2):
-                        continue
-                    tracers = (metal1, metal2)
-                    name = metal1 + '_' + metal2
-                    if 'RP_' + name not in metal_hdul[2].columns:
-                        name = metal2 + '_' + metal1
-                    self._read_metal_correlation(metal_hdul, tracers, name,
-                                                 dm_prefix)
-                    metal_correlations.append(tracers)
-
+        metal_correlations = self._metal_pairs(in1, in2)
+        for tracers in metal_correlations:
+            # column names may carry the pair in either order
+            name = '_'.join(tracers)
+            if 'RP_' + name not in metal_hdul[2].columns:
+                name = '_'.join(reversed(tracers))
+            self._read_metal_correlation(metal_hdul, tracers, name,
+                                         dm_prefix)
         return tracer_catalog, metal_correlations
 
     def _use_correlation(self, name1, name2):
@@ -459,58 +420,52 @@ class Data:
     # ------------------------------------------------------------------
     # Monte Carlo (reference: data.py:689-760)
     # ------------------------------------------------------------------
+    def set_cov_scale(self, scale):
+        """Track the active covariance rescale for the chi^2 side
+        (scaled inverse covariance and log-determinant). Returns True
+        when the scale actually changed."""
+        changed = not np.isclose(scale, self._scale)
+        if changed:
+            self._scale = scale
+            self.scaled_inv_masked_cov = self.inv_masked_cov / scale
+            self.scaled_log_cov_det = self.log_cov_det + np.log(scale)
+        elif self.scaled_inv_masked_cov is None:
+            # first call at the default scale: the "scaled" views are
+            # simply the unscaled ones
+            self.scaled_inv_masked_cov = self.inv_masked_cov
+            self.scaled_log_cov_det = self.log_cov_det
+        return changed
+
     def create_monte_carlo(self, fiducial_model, scale=None, seed=None,
                            forecast=False):
         """Cholesky mock of the data; host-side twin of the vmapped device
-        path in analysis.py."""
-        if scale is None:
-            scale = 1
+        path in parallel.MonteCarloEngine (shared machinery in
+        vega_tpu/mocks.py)."""
+        from . import mocks
 
-        if np.isclose(scale, self._scale):
-            self._recompute = False
-        else:
-            self._scale = scale
-            self._recompute = True
-            self.scaled_inv_masked_cov = self.inv_masked_cov / self._scale
-            self.scaled_log_cov_det = np.log(self._scale) + self.log_cov_det
-
-        if self.scaled_inv_masked_cov is None:
-            self.scaled_inv_masked_cov = self.inv_masked_cov
-        if self.scaled_log_cov_det is None:
-            self.scaled_log_cov_det = self.log_cov_det
-
-        if (self._cholesky is None or self._recompute) and not forecast:
-            if self.cholesky_masked_cov:
-                masked_cov = self.cov_mat[np.ix_(self.data_mask,
-                                                 self.data_mask)]
-                self._cholesky = np.linalg.cholesky(self._scale * masked_cov)
-            else:
-                self._cholesky = np.linalg.cholesky(self._scale * self.cov_mat)
-
-        if seed is not None:
-            np.random.seed(seed)
-
-        masked_fiducial = fiducial_model
-        if fiducial_model.size != self.full_data_size:
-            if fiducial_model.size != self.dist_model_coordinates.rp_grid.size:
-                raise ValueError(
-                    'Could not match fiducial model to data or model size.')
-            mask = self.dist_model_coordinates.get_mask_to_other(
-                self.data_coordinates)
-            masked_fiducial = fiducial_model[mask]
+        rescaled = self.set_cov_scale(1 if scale is None else scale)
+        fiducial = mocks.match_to_data_grid(fiducial_model, self)
 
         if forecast:
-            self.mc_mock = masked_fiducial
+            # noiseless "mock": the fiducial itself
+            if seed is not None:
+                np.random.seed(seed)
+            self.mc_mock = fiducial
         else:
-            self.mc_mock = np.full(self.full_data_size, np.nan)
+            if self._cholesky is None or rescaled:
+                self._cholesky = mocks.scaled_cholesky(
+                    self.cov_mat, self._scale,
+                    mask=self.data_mask if self.cholesky_masked_cov
+                    else None)
+            if seed is not None:
+                np.random.seed(seed)
             if self.cholesky_masked_cov:
-                ran_vec = np.random.randn(self.data_mask.sum())
-                self.mc_mock[self.data_mask] = (
-                    masked_fiducial[self.data_mask]
-                    + self._cholesky.dot(ran_vec))
+                # noise only on the unmasked bins; everything else NaN
+                self.mc_mock = np.full(self.full_data_size, np.nan)
+                self.mc_mock[self.data_mask] = mocks.gaussian_draw(
+                    fiducial[self.data_mask], self._cholesky)
             else:
-                ran_vec = np.random.randn(self.full_data_size)
-                self.mc_mock = masked_fiducial + self._cholesky.dot(ran_vec)
+                self.mc_mock = mocks.gaussian_draw(fiducial, self._cholesky)
 
         self.masked_mc_mock = self.mc_mock[self.data_mask]
         return self.mc_mock

@@ -32,6 +32,9 @@ f64; pinned by tests/test_factored.py).
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 import jax
 import jax.numpy as jnp
 
@@ -43,10 +46,47 @@ def has_tracer(*vals):
     return any(isinstance(v, jax.core.Tracer) for v in vals)
 
 
+# --------------------------------------------------------------------------
+# Grid-trace context (see vega_tpu/gridcollapse.py)
+#
+# During a grid-collapse sweep the designated "grid parameters" (ap/at and
+# friends) are traced node values whose tracers are ALLOWED inside basis
+# rows: the factored classification treats them as row-safe, so FactoredXi
+# survives with a (traced) V that is a pure function of the grid
+# parameters. Coefficients must still not depend on them — that invariant
+# is enforced structurally by the sweep (vmap out_axes=None on the
+# coefficient vector).
+# --------------------------------------------------------------------------
+_GRID_CTX = threading.local()
+
+
+def grid_param_names():
+    """Names whose tracers are row-safe in the current trace."""
+    return getattr(_GRID_CTX, 'names', frozenset())
+
+
+@contextmanager
+def grid_trace(names):
+    prev = getattr(_GRID_CTX, 'names', frozenset())
+    _GRID_CTX.names = frozenset(names)
+    try:
+        yield
+    finally:
+        _GRID_CTX.names = prev
+
+
+def keyed_tracer(key, val):
+    """has_tracer for a single named parameter value, ignoring tracers of
+    grid parameters (their dependence lives in the basis rows)."""
+    return has_tracer(val) and key not in grid_param_names()
+
+
 class RecordingParams:
-    """Read-only params view recording every accessed value, so a factor
-    can be classified static (none of the parameters it actually read is
-    traced) without hard-coding its parameter list."""
+    """Read-only params view recording every accessed (key, value) pair,
+    so a factor can be classified static (none of the parameters it
+    actually read is traced) without hard-coding its parameter list.
+    Accesses to grid parameters (see `grid_trace`) do not count as
+    traced: their tracers are allowed inside basis rows."""
 
     def __init__(self, params):
         self._params = params
@@ -54,19 +94,20 @@ class RecordingParams:
 
     def __getitem__(self, key):
         val = self._params[key]
-        self.accessed.append(val)
+        self.accessed.append((key, val))
         return val
 
     def get(self, key, default=None):
         val = self._params.get(key, default)
-        self.accessed.append(val)
+        self.accessed.append((key, val))
         return val
 
     def __contains__(self, key):
         return key in self._params
 
     def traced(self):
-        return has_tracer(*self.accessed)
+        grid = grid_param_names()
+        return any(has_tracer(v) for k, v in self.accessed if k not in grid)
 
 
 class FactoredXi:

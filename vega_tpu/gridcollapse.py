@@ -1,0 +1,322 @@
+"""Grid collapse: the factored quadratic form as a function of the
+nonlinear scale parameters.
+
+The basis collapse (vega_tpu/factored.py, VegaInterface.get_collapsed)
+removes all grid-sized work from the per-evaluation chi^2 graph whenever
+the sampled parameters enter the model only through scalar coefficients.
+Sampling (alpha_par, alpha_perp) — the BAO regime — breaks that: the AP
+rescaling moves the spline evaluation points of the Pk->xi transform
+(reference: correlation_func.py:200-236), so the basis rows themselves
+become functions of a small set of "grid parameters" g (ap/at or any
+other scale parametrisation, drp_* shifts).
+
+This module extends the collapse to that regime. The model stays LINEAR
+in the coefficient vector c; only the basis moves with g:
+
+    xi(c, g)   = c @ V(g)
+    chi2(c, g) = d'Ci d - 2 c.(V(g) Ci d) + c.(V(g) Ci V(g)') c
+               = s(g) - 2 dc.y(g) + dc.A(g) dc          (centered on c0)
+
+with A(g) = V Ci V' (T, T), y(g) = V Ci d - A c0, s(g) = chi2(c0, g) —
+all smooth functions of the one-to-three grid parameters. The collapse
+sweep evaluates them EXACTLY at a tensor grid of Chebyshev-Gauss nodes
+(one vmapped run of the standard collapse graph under a `grid_trace`
+context, so the factored classification treats the node tracers as
+row-safe), Chebyshev-transforms the node tensors, and compresses the
+(coefficient, payload) matrix with an SVD. Each likelihood evaluation
+then costs:
+
+    t_d  = Chebyshev values of the normalized g_d       (sum(Q_d) flops)
+    psi  = outer(t_1, ..., t_D).ravel()                 (N = prod(Q_d))
+    phi  = psi @ B                                      (N x R)
+    p    = phi @ F                                      (R x (T^2+T+1))
+    chi2 = s - 2 dc.y + dc.(A dc)                       (T^2)
+
+— a few hundred kFLOP instead of the ~73 MFLOP dense path (spline +
+distortion matmul + masked-covariance quadratic form per evaluation),
+putting the BAO-sampled regime on the same footing as the nuisance-only
+collapse. Values match the dense pipeline to the Chebyshev interpolation
+error, measured by tests/test_grid_collapse.py and reported in
+docs/performance.md; outside the node domain the evaluation returns the
+chi^2 = 1e100 penalty (the same semantics as the reference's
+VegaBoundsError for out-of-range interpolation).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+
+# Sampled parameters that move basis rows instead of coefficients
+# (reference: scale_parameters.py:12-230 for the alpha parametrisations,
+# correlation_func.py:64-69 for drp). Everything else that breaks the
+# factored classification (sigma NL, HCD scales, smoothings...) can be
+# designated explicitly via [control] grid-params.
+ALPHA_LIKE = {
+    'ap', 'at', 'aiso', 'epsilon', 'phi', 'alpha',
+    'ap_full', 'at_full', 'aiso_full', 'epsilon_full',
+    'phi_full', 'alpha_full', 'phi_smooth', 'alpha_smooth',
+}
+
+
+def is_known_grid_param(name):
+    return (name in ALPHA_LIKE or name.startswith('alpha_smooth_')
+            or name.startswith('drp_'))
+
+
+@register_pytree_node_class
+class GridSpec:
+    """Static description of the node grid: parameter names, domains,
+    per-dimension node counts and the reference values substituted into
+    the coefficient trace. Everything lives in pytree aux_data, so the
+    spec rides through jit as (hashable) structure, not as arrays."""
+
+    def __init__(self, names, lo, hi, degrees, ref):
+        self.names = tuple(names)
+        self.lo = tuple(float(v) for v in lo)
+        self.hi = tuple(float(v) for v in hi)
+        self.degrees = tuple(int(d) for d in degrees)
+        self.ref = tuple(float(v) for v in ref)
+
+    @property
+    def n_nodes(self):
+        return int(np.prod(self.degrees))
+
+    def tree_flatten(self):
+        return (), (self.names, self.lo, self.hi, self.degrees, self.ref)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux)
+
+    def __repr__(self):
+        dims = ', '.join(
+            f'{n}: [{lo:.4g}, {hi:.4g}] x{d}'
+            for n, lo, hi, d in zip(self.names, self.lo, self.hi,
+                                    self.degrees))
+        return f'GridSpec({dims})'
+
+
+# --------------------------------------------------------------------------
+# Chebyshev machinery (host side)
+# --------------------------------------------------------------------------
+def cheb_nodes(n):
+    """Chebyshev-Gauss points on (-1, 1), ascending."""
+    k = np.arange(n)
+    return np.sort(np.cos((2 * k + 1) * np.pi / (2 * n)))
+
+
+def cheb_transform_matrix(n):
+    """(n, n) matrix M with a = M @ f mapping values at `cheb_nodes(n)`
+    to Chebyshev coefficients (exact for polynomials of degree < n)."""
+    x = cheb_nodes(n)
+    theta = np.arccos(x)
+    k = np.arange(n)[:, None]
+    mat = np.cos(k * theta[None, :]) * (2.0 / n)
+    mat[0] *= 0.5
+    return mat
+
+
+def cheb_values(x, n):
+    """T_0(x) .. T_{n-1}(x) by the three-term recurrence (traceable)."""
+    vals = [jnp.ones_like(x), x]
+    for _ in range(2, n):
+        vals.append(2 * x * vals[-1] - vals[-2])
+    return jnp.stack(vals[:n])
+
+
+# --------------------------------------------------------------------------
+# Per-evaluation graph helpers (traceable)
+# --------------------------------------------------------------------------
+# chi^2 wall strength outside the node domain, per unit of squared
+# normalized excess (half-domain-widths). Chosen so the wall dwarfs any
+# physical chi^2 within ~1% of a domain width while staying FINITE and
+# smooth: a hard 1e100 penalty destroys Wolfe line searches (the first
+# L-BFGS trial step often lands outside the domain and the interpolating
+# line search diverges on the cliff), whereas the quadratic wall pushes
+# optimizers back inside. The dense pipeline's out-of-bounds points keep
+# the reference's 1e100 semantics — only the grid-domain boundary is
+# softened, and only because it is an artifact of the node domain, not
+# of the model.
+GRID_WALL_CHI2 = 1e8
+
+
+def grid_psi(spec, sample_params):
+    """Chebyshev tensor-basis values for one evaluation point.
+
+    Returns (psi, excess): psi is the (N,) coefficient-space basis
+    vector (kron of the per-dimension Chebyshev value vectors, C order
+    matching the node sweep) evaluated at the domain-clamped point;
+    excess is the summed squared normalized distance outside the domain
+    (0 inside), which the chi^2 graph turns into the smooth
+    GRID_WALL_CHI2 boundary wall.
+    """
+    psi = None
+    excess = jnp.asarray(0.0)
+    for name, lo, hi, deg in zip(spec.names, spec.lo, spec.hi,
+                                 spec.degrees):
+        x = (2.0 * sample_params[name] - (lo + hi)) / (hi - lo)
+        excess = excess + jnp.maximum(jnp.abs(x) - 1.0, 0.0) ** 2
+        t = cheb_values(jnp.clip(x, -1.0, 1.0), deg)
+        psi = t if psi is None else (psi[:, None] * t[None, :]).ravel()
+    return psi, excess
+
+
+def grid_corr_chi2(corr_payload, psi, coeffs):
+    """chi^2 contribution of one correlation from its grid payload."""
+    c_ref = corr_payload['cref']
+    t = c_ref.shape[0]
+    dc = coeffs - c_ref
+    p = (psi @ corr_payload['B']) @ corr_payload['F']
+    a_mat = p[:t * t].reshape(t, t)
+    y = p[t * t:t * t + t]
+    s = p[t * t + t]
+    return s - 2.0 * (dc @ y) + dc @ (a_mat @ dc)
+
+
+# --------------------------------------------------------------------------
+# The node sweep (host side, one jitted run)
+# --------------------------------------------------------------------------
+def build_grid_payload(vega, sample_names, grid_names, spec,
+                       sweep_chunk=None, svd_tol=None):
+    """Run the collapse sweep over the node grid and build the
+    per-correlation payloads.
+
+    Returns a dict {'__grid__': spec, corr_name: {'B', 'F', 'cref'}}
+    (numpy host arrays; callers ship them as jit arguments). Correlations
+    whose model does not stay factored under the grid trace are absent —
+    the chi^2 graph evaluates those densely with the true traced values.
+    """
+    from .factored import grid_trace
+    from .statics import STATICS
+
+    if sweep_chunk is None:
+        sweep_chunk = int(os.environ.get('VEGA_TPU_GRID_SWEEP_CHUNK', 32))
+    if svd_tol is None:
+        svd_tol = float(os.environ.get('VEGA_TPU_GRID_SVD_TOL', 1e-12))
+
+    vega._ensure_static_refs()
+
+    # Node tensor (C order: first name outermost)
+    axes = [0.5 * (lo + hi) + 0.5 * (hi - lo) * cheb_nodes(deg)
+            for lo, hi, deg in zip(spec.lo, spec.hi, spec.degrees)]
+    mesh = np.meshgrid(*axes, indexing='ij')
+    nodes = np.stack([m.ravel() for m in mesh], axis=-1)   # (N, G)
+
+    base_sampled = {name: float(vega.params.get(name, 0.0))
+                    for name in sample_names}
+    data_vecs = {name: np.asarray(v)
+                 for name, v in vega._current_data_vecs().items()}
+
+    corr_names = list(vega.corr_items)
+
+    def node_fn(gvals, base, dvecs, statics):
+        sp = dict(base)
+        for i, n in enumerate(spec.names):
+            sp[n] = gvals[i]
+        with STATICS.bind(statics), grid_trace(spec.names):
+            return vega._grid_collapse_node(sp, dvecs)
+
+    def sweep(node_chunks, base, dvecs, statics):
+        def one_chunk(chunk):
+            # out_axes=None on the coefficient vectors is a structural
+            # proof that no coefficient depends on a grid parameter —
+            # vmap raises otherwise (the payload tensors would then be
+            # inconsistent across nodes).
+            return jax.vmap(node_fn, in_axes=(0, None, None, None),
+                            out_axes=(0, None, 0))(
+                chunk, base, dvecs, statics)
+        return jax.lax.map(one_chunk, node_chunks)
+
+    n_nodes = nodes.shape[0]
+    pad = (-n_nodes) % sweep_chunk
+    nodes_padded = np.pad(nodes, [(0, pad), (0, 0)], mode='edge')
+    node_chunks = nodes_padded.reshape(-1, sweep_chunk, nodes.shape[1])
+
+    # Execute on the host CPU backend: runs once, compiles locally in
+    # seconds, exact host f64 (same policy as get_collapsed).
+    fn = jax.jit(sweep)
+    try:
+        cpu = jax.devices('cpu')[0]
+    except Exception:                                       # pragma: no cover
+        cpu = None
+    if cpu is not None and jax.default_backend() != 'cpu':
+        with jax.default_device(cpu):
+            payload_nodes, c0s, bad = fn(
+                jnp.asarray(node_chunks), base_sampled, data_vecs,
+                STATICS.host_tree())
+    else:
+        payload_nodes, c0s, bad = fn(
+            jnp.asarray(node_chunks), base_sampled, data_vecs,
+            STATICS.device_tree())
+
+    bad = np.asarray(bad).reshape(-1)[:n_nodes]
+    if bad.any():
+        first = nodes[np.argmax(bad)]
+        raise ValueError(
+            'Grid collapse: the model is out of bounds (spline range or '
+            f'non-finite factor) at {int(bad.sum())} of {n_nodes} nodes, '
+            f'first at {dict(zip(spec.names, first))}. Narrow the grid '
+            'domain ([control] grid-domain-<param> = lo hi) or the '
+            'sampling limits.')
+
+    # chunk-level c0 consistency (out_axes=None already proved node-level)
+    c0s = {k: np.asarray(v) for k, v in c0s.items()}
+    for name, c0 in c0s.items():
+        if c0.ndim == 2:
+            assert np.allclose(c0[0], c0), \
+                f'coefficient vector varies across sweep chunks for {name}'
+            c0s[name] = c0[0]
+
+    out = {'__grid__': spec}
+    tmats = [cheb_transform_matrix(d) for d in spec.degrees]
+    for name in corr_names:
+        if name not in payload_nodes:
+            continue
+        a_nodes = np.asarray(payload_nodes[name]['A'])
+        e_nodes = np.asarray(payload_nodes[name]['e'])
+        a_nodes = a_nodes.reshape(-1, *a_nodes.shape[-2:])[:n_nodes]
+        e_nodes = e_nodes.reshape(-1, e_nodes.shape[-1])[:n_nodes]
+        c0 = c0s[name]
+        t = c0.shape[0]
+
+        d_masked = data_vecs[name]
+        inv_cov = np.asarray(vega.data[name].inv_masked_cov)
+        d_ci_d = float(d_masked @ (inv_cov @ d_masked))
+
+        # centered pieces, exact f64 on the host:
+        #   y_q = e_q - A_q c0 ;  s_q = chi2(c0, g_q)
+        y_nodes = e_nodes - np.einsum('qts,s->qt', a_nodes, c0)
+        s_nodes = (d_ci_d - 2.0 * e_nodes @ c0
+                   + np.einsum('t,qts,s->q', c0, a_nodes, c0))
+
+        payload = np.concatenate(
+            [a_nodes.reshape(n_nodes, t * t), y_nodes,
+             s_nodes[:, None]], axis=1)                     # (N, D)
+
+        # node values -> Chebyshev coefficients, one dim at a time
+        coef = payload.reshape(tuple(spec.degrees) + (payload.shape[1],))
+        for axis, mat in enumerate(tmats):
+            coef = np.moveaxis(
+                np.tensordot(mat, coef, axes=(1, axis)), 0, axis)
+        coef = coef.reshape(n_nodes, -1)
+
+        # SVD compression across the node-coefficient axis
+        u, s, vt = np.linalg.svd(coef, full_matrices=False)
+        if s.size and s[0] > 0:
+            tail = np.sqrt(np.cumsum(s[::-1] ** 2))[::-1]
+            keep = int(np.searchsorted(-tail, -svd_tol * tail[0]))
+            rank = max(1, min(s.size, keep if keep > 0 else 1))
+        else:                                               # pragma: no cover
+            rank = 1
+        out[name] = {
+            'B': np.ascontiguousarray(u[:, :rank]),
+            'F': np.ascontiguousarray(s[:rank, None] * vt[:rank]),
+            'cref': c0,
+        }
+    return out

@@ -363,9 +363,12 @@ class Metals:
 
             alphas = [pair_scalars[h][3] for h in hashes] \
                 + [pair_scalars[h][4] for h in hashes]
+            from .factored import keyed_tracer
+            drp_key = plan['drp_name'] if plan['drp_name'] is not None else ''
             factorable = (factored is not None
                           and not rec_shared.traced()
-                          and not has_tracer(drp, *alphas))
+                          and not keyed_tracer(drp_key, drp)
+                          and not has_tracer(*alphas))
 
             if factorable:
                 # Keep the (3, p) moment x pair structure unbatched:

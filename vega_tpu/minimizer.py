@@ -93,6 +93,99 @@ class Minimizer:
         return self.grad_func(params_dict)
 
     # ------------------------------------------------------------------
+    def _grad_at(self, params_full, free_names):
+        """Exact gradient vector at a point (None when no gradient
+        provider is configured)."""
+        grads = None
+        if self.valgrad_func is not None:
+            _, grads = self.valgrad_func(dict(params_full))
+        elif self.grad_func is not None:
+            grads = self.grad_func(dict(params_full))
+        if grads is None:
+            return None
+        return np.array([grads[name] for name in free_names])
+
+    @staticmethod
+    def _use_minuit():
+        """True when the optional iminuit (MIGRAD) backend is requested
+        AND importable. The reference always fits with MIGRAD (reference:
+        minimizer.py:39-103); this backend reproduces its exact fit
+        trajectory for users who need it, fed by the jitted chi^2 and
+        exact jax gradients instead of finite differences."""
+        import os
+        if os.environ.get('VEGA_TPU_MINIMIZER', '').lower() != 'migrad':
+            return False
+        try:
+            import iminuit  # noqa: F401
+            return True
+        except ImportError:
+            print('WARNING: VEGA_TPU_MINIMIZER=migrad but iminuit is not '
+                  'installed; falling back to the native minimizer')
+            return False
+
+    def _solve_migrad(self, free_names, params_init, errors, limits,
+                      fixed_values):
+        """One MIGRAD run over free_names via iminuit (reference:
+        minimizer.py:67-98), with the exact jax gradient injected so
+        MINUIT skips its finite-difference evaluations.
+
+        Returns (minuit_object, bestfit_dict)."""
+        import iminuit
+
+        def fun(x):
+            full = dict(fixed_values)
+            full.update({n: float(v) for n, v in zip(free_names, x)})
+            return self._chi2_dict(full)
+
+        def jac(x):
+            full = dict(fixed_values)
+            full.update({n: float(v) for n, v in zip(free_names, x)})
+            g = self._grad_at(full, free_names)
+            return g if g is not None else np.zeros(len(free_names))
+
+        has_grad = (self.valgrad_func is not None
+                    or self.grad_func is not None)
+        x0 = np.array([params_init[n] for n in free_names])
+        minuit = iminuit.Minuit(fun, x0, grad=jac if has_grad else None,
+                                name=list(free_names))
+        minuit.errordef = 1
+        for name in free_names:
+            if name in errors:
+                minuit.errors[name] = errors[name]
+            if name in limits:
+                minuit.limits[name] = limits[name]
+        minuit.print_level = 1
+        minuit.migrad(ncall=int(1e5))
+        bestfit = dict(fixed_values)
+        bestfit.update({n: float(minuit.values[n]) for n in free_names})
+        return minuit, bestfit
+
+    def _minimize_migrad(self, params_init, errors, limits, fixed_values,
+                         free_names):
+        """Two-stage MIGRAD fit mirroring the reference's strategy
+        (bias-only pre-fit then full; reference: minimizer.py:66-98)."""
+        bias_names = [n for n in free_names if 'bias' in n]
+        if bias_names and len(bias_names) < len(free_names):
+            _, stage1_fit = self._solve_migrad(
+                bias_names, params_init, errors, limits, fixed_values)
+            for name in bias_names:
+                params_init[name] = stage1_fit[name]
+                fixed_values[name] = stage1_fit[name]
+
+        minuit, bestfit = self._solve_migrad(
+            free_names, params_init, errors, limits, fixed_values)
+        minuit.hesse()
+        cov = np.full((len(free_names), len(free_names)), np.nan)
+        hesse_failed = bool(minuit.fmin.hesse_failed)
+        if not hesse_failed and minuit.covariance is not None:
+            cov = np.array([[minuit.covariance[(n1, n2)]
+                             for n2 in free_names] for n1 in free_names])
+        err_vec = np.array([float(minuit.errors[n]) for n in free_names])
+        return (bestfit, float(minuit.fmin.fval),
+                bool(minuit.fmin.is_valid), float(minuit.fmin.edm),
+                cov, err_vec, hesse_failed)
+
+    # ------------------------------------------------------------------
     def _solve(self, free_names, params_init, errors, limits, fixed_values):
         """Run one bounded minimization over free_names; other parameters
         are held at fixed_values."""
@@ -253,29 +346,46 @@ class Minimizer:
         free_names = [n for n in all_names if not fixed.get(n, False)]
         fixed_values = {n: params_init[n] for n in all_names}
 
-        # Stage 1: bias-only pre-fit (reference: minimizer.py:66-86)
-        bias_names = [n for n in free_names if 'bias' in n]
-        if bias_names and len(bias_names) < len(free_names):
-            _, stage1_fit = self._solve(
-                bias_names, params_init, errors, limits, fixed_values)
-            for name in bias_names:
-                params_init[name] = stage1_fit[name]
-                fixed_values[name] = stage1_fit[name]
-
-        # Stage 2: full fit
-        if free_names:
-            result, bestfit = self._solve(
-                free_names, params_init, errors, limits, fixed_values)
-            minimum_valid = bool(result.success)
-            fval = float(result.fun)
+        edm = np.nan
+        if free_names and self._use_minuit():
+            (bestfit, fval, minimum_valid, edm, cov, err_vec,
+             hesse_failed) = self._minimize_migrad(
+                params_init, errors, limits, fixed_values, free_names)
         else:
-            bestfit = dict(fixed_values)
-            minimum_valid = True
-            fval = self._chi2_dict(bestfit)
+            # Stage 1: bias-only pre-fit (reference: minimizer.py:66-86)
+            bias_names = [n for n in free_names if 'bias' in n]
+            if bias_names and len(bias_names) < len(free_names):
+                _, stage1_fit = self._solve(
+                    bias_names, params_init, errors, limits, fixed_values)
+                for name in bias_names:
+                    params_init[name] = stage1_fit[name]
+                    fixed_values[name] = stage1_fit[name]
 
-        cov, err_vec, hesse_failed = (
-            self._compute_errors(free_names, bestfit, fixed_values)
-            if free_names else (np.zeros((0, 0)), np.zeros(0), False))
+            # Stage 2: full fit
+            if free_names:
+                result, bestfit = self._solve(
+                    free_names, params_init, errors, limits, fixed_values)
+                minimum_valid = bool(result.success)
+                fval = float(result.fun)
+            else:
+                bestfit = dict(fixed_values)
+                minimum_valid = True
+                fval = self._chi2_dict(bestfit)
+
+            cov, err_vec, hesse_failed = (
+                self._compute_errors(free_names, bestfit, fixed_values)
+                if free_names else (np.zeros((0, 0)), np.zeros(0), False))
+
+            # EDM (MINUIT's estimated distance to minimum): with the
+            # exact gradient g and Hessian H = 2 cov^-1 in hand,
+            # edm = g.(H^-1 g)/2 = g.(cov g)/4 (reference exposes
+            # MIGRAD's value, minimizer.py:105-187 via iminuit)
+            if free_names and not hesse_failed:
+                full = {**fixed_values,
+                        **{k: bestfit[k] for k in free_names}}
+                g = self._grad_at(full, free_names)
+                if g is not None and np.all(np.isfinite(cov)):
+                    edm = float(g @ (cov @ g) / 4.0)
 
         # Assemble Minuit-compatible results over ALL named parameters
         self._values = {name: float(bestfit[name]) for name in all_names}
@@ -295,9 +405,9 @@ class Minimizer:
 
         self._fmin = SimpleNamespace(
             fval=fval, is_valid=minimum_valid, hesse_failed=hesse_failed,
-            edm=np.nan,
+            edm=edm,
             items=lambda: [('fval', fval), ('is_valid', minimum_valid),
-                           ('hesse_failed', hesse_failed)])
+                           ('hesse_failed', hesse_failed), ('edm', edm)])
         self._minuit_shim = SimpleNamespace(
             valid=minimum_valid, accurate=not hesse_failed)
 

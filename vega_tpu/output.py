@@ -145,13 +145,16 @@ class Output:
         errors = np.array([minimizer.errors[name] for name in names])
         cov_mat = np.array(minimizer.covariance)
 
+        header = {
+            'FVAL': float(minimizer.fmin.fval),
+            'VALID': bool(minimizer.minuit.valid),
+            'ACCURATE': bool(minimizer.minuit.accurate),
+        }
+        if np.isfinite(minimizer.fmin.edm):
+            header['EDM'] = float(minimizer.fmin.edm)
         return {
             'name': 'BESTFIT',
-            'header': {
-                'FVAL': float(minimizer.fmin.fval),
-                'VALID': bool(minimizer.minuit.valid),
-                'ACCURATE': bool(minimizer.minuit.accurate),
-            },
+            'header': header,
             'columns': {
                 'names': names, 'values': values, 'errors': errors,
                 'covariance': cov_mat,

@@ -304,6 +304,29 @@ class VegaInterface:
                          'c0': c0, 'm0': c0 @ fxi.V}
         return out
 
+    def _grid_collapse_node(self, sample_params, data_vecs):
+        """One node of the grid-collapse sweep (vega_tpu/gridcollapse.py):
+        the quadratic-form tensors of the factored chi^2 at fixed grid-
+        parameter values, traced under a `grid_trace` context so the
+        basis rows carry the (vmapped) node tracers.
+
+        Returns ({name: {'A': (T, T), 'e': (T,)}}, {name: c0}, bad)."""
+        from .factored import FactoredXi
+
+        local_params = self._get_lcl_prms(sample_params)
+        model_cf, bad = self._model_graph(local_params, keep_factored=True)
+        payload, c0s = {}, {}
+        for name in self.corr_items:
+            if not isinstance(model_cf[name], FactoredXi):
+                continue
+            fxi = model_cf[name].mask(self.data[name].model_mask)
+            inv_cov = jnp.asarray(resolve(self._invcov_refs[name]))
+            w_mat = fxi.V @ inv_cov
+            payload[name] = {'A': w_mat @ fxi.V.T,
+                             'e': w_mat @ jnp.asarray(data_vecs[name])}
+            c0s[name] = fxi.coeff_vector()
+        return payload, c0s, bad
+
     def _chi2_graph(self, sample_params, data_vecs, cov_scales,
                     collapsed=None):
         """Traceable chi^2 of the sampled parameters.
@@ -314,16 +337,57 @@ class VegaInterface:
         Monte-Carlo rescaling is active).
         collapsed: optional precomputed basis-collapse tensors from
         `_collapsed_graph` (keyed by correlation); when present the
-        basis work drops out of this graph entirely.
+        basis work drops out of this graph entirely. A grid-collapse
+        payload (carrying '__grid__', see vega_tpu/gridcollapse.py)
+        additionally removes the nonlinear scale parameters from the
+        traced model: the model trace runs at the spec's reference
+        values (only the coefficient functions survive DCE) and the
+        grid-parameter dependence enters through the Chebyshev
+        interpolation of the per-node quadratic forms.
         """
         from .factored import FactoredXi, densify
 
         self._ensure_static_refs()
         local_params = self._get_lcl_prms(sample_params)
+
+        grid_spec = collapsed.get('__grid__') if collapsed else None
+        grid_psi_vec = grid_wall = None
+        if grid_spec is not None:
+            from .gridcollapse import GRID_WALL_CHI2, grid_psi
+            # psi lives in SAMPLED space: the sweep fed node values in as
+            # sampled parameters (blinding etc. applied inside each node)
+            grid_psi_vec, grid_excess = grid_psi(grid_spec, sample_params)
+            grid_wall = GRID_WALL_CHI2 * grid_excess
+            # coefficient trace at the reference values: the sampled
+            # grid parameters are replaced BEFORE the blinding transform
+            # so the substitution lives in the same space as the nodes
+            sample_ref = dict(sample_params)
+            for n, v in zip(grid_spec.names, grid_spec.ref):
+                sample_ref[n] = v
+            model_params = self._get_lcl_prms(sample_ref)
+        else:
+            model_params = local_params
+
         keep_factored = (not self.marginalize_in_fit
                          and not self._use_global_cov)
-        model_cf, bad = self._model_graph(local_params,
-                                          keep_factored=keep_factored)
+        if grid_spec is None:
+            model_cf, bad = self._model_graph(model_params,
+                                              keep_factored=keep_factored)
+        else:
+            # Per-correlation choice: grid-covered correlations trace at
+            # the reference values (their chi^2 comes from the payload);
+            # any correlation that did not stay factored under the grid
+            # trace is evaluated densely with the TRUE traced values.
+            model_cf = {}
+            bad = jnp.asarray(False)
+            for name in self.corr_items:
+                pars = (model_params if name in collapsed
+                        else local_params)
+                cf, cf_bad = self.models[name].compute(
+                    pars, self.fiducial['pk_full'],
+                    self.fiducial['pk_smooth'])
+                model_cf[name] = cf if keep_factored else densify(cf)
+                bad = bad | cf_bad
 
         marg_coeff = {}
         if self.marginalize_in_fit:
@@ -357,7 +421,14 @@ class VegaInterface:
                     fxi = model_cf[name].mask(corr_data.model_mask)
                     c = fxi.coeff_vector()
                     d = data_vecs[name]
-                    if collapsed is not None and name in collapsed:
+                    if grid_spec is not None and name in collapsed:
+                        from .gridcollapse import grid_corr_chi2
+                        assert collapsed[name]['cref'].shape == c.shape, (
+                            'grid-collapse tensors do not match the '
+                            'factored term structure — stale grid cache')
+                        chi2_corr = grid_corr_chi2(
+                            collapsed[name], grid_psi_vec, c)
+                    elif collapsed is not None and name in collapsed:
                         w_mat = collapsed[name]['W']
                         a_mat = collapsed[name]['A']
                         assert a_mat.shape == (fxi.n_terms, fxi.n_terms), (
@@ -389,6 +460,10 @@ class VegaInterface:
                 chi2 = chi2 + cov_scales[name] * chi2_corr
 
         chi2 = chi2 + self._prior_chi2_graph(local_params)
+        if grid_wall is not None:
+            # smooth boundary wall of the grid-collapse node domain
+            # (see gridcollapse.GRID_WALL_CHI2)
+            chi2 = chi2 + grid_wall
         chi2 = jnp.where(bad, PENALTY_CHI2, chi2)
         return chi2, marg_coeff
 
@@ -435,6 +510,9 @@ class VegaInterface:
         if not key or os.environ.get('VEGA_TPU_FACTORED', '1') != '1' \
                 or self.marginalize_in_fit or self._use_global_cov:
             return {}
+        grid_names = self._grid_candidate_names(key)
+        if grid_names:
+            return self._get_grid_collapsed(key, grid_names)
         if not hasattr(self, '_collapsed_cache'):
             self._collapsed_cache = {}
         if key not in self._collapsed_cache:
@@ -474,6 +552,107 @@ class VegaInterface:
             self._collapsed_cache[key] = jax.tree.map(
                 lambda x: x.block_until_ready(), out)
         return self._collapsed_cache[key]
+
+    # ------------------------------------------------------------------
+    # Grid collapse (nonlinear scale parameters; vega_tpu/gridcollapse.py)
+    # ------------------------------------------------------------------
+    def _control_get(self, option, default=None):
+        if 'control' in self.main_config:
+            return self.main_config['control'].get(option, default)
+        return default
+
+    def _grid_candidate_names(self, key):
+        """Sampled parameters that should be handled by the grid
+        collapse: the known nonlinear scale parameters plus any names
+        designated via [control] grid-params."""
+        import os
+        from .gridcollapse import is_known_grid_param
+        if os.environ.get('VEGA_TPU_GRID_COLLAPSE', '1') != '1':
+            return ()
+        designated = set((self._control_get('grid-params') or '').split())
+        names = [n for n in sorted(key)
+                 if is_known_grid_param(n) or n in designated]
+        return tuple(names)
+
+    def _grid_dim_setup(self, name):
+        """(lo, hi, degree, ref) for one grid dimension."""
+        import os
+        from .gridcollapse import ALPHA_LIKE
+        value = float(self.params.get(name, 1.0 if name in ALPHA_LIKE
+                                      else 0.0))
+        override = self._control_get(f'grid-domain-{name}')
+        if override is not None:
+            lo, hi = (float(v) for v in override.split())
+        else:
+            limits = self.sample_params['limits'].get(name)
+            if limits is None and self.mc_config is not None:
+                limits = self.mc_config['sample']['limits'].get(name)
+            if limits is None or limits[0] is None or limits[1] is None:
+                lo, hi = value - 0.25, value + 0.25
+            else:
+                lo, hi = float(limits[0]), float(limits[1])
+            if name in ALPHA_LIKE or name.startswith('alpha_smooth'):
+                # the alpha-like domain defaults to a window around the
+                # current value: the chi^2 oscillates on the BAO scale in
+                # alpha, so node count grows with domain width
+                pad = float(self._control_get(
+                    'grid-domain-pad',
+                    os.environ.get('VEGA_TPU_GRID_PAD', '0.25')))
+                lo, hi = max(lo, value - pad), min(hi, value + pad)
+        degree = self._control_get(f'grid-nodes-{name}')
+        if degree is None:
+            degree = os.environ.get('VEGA_TPU_GRID_NODES')
+        if degree is None:
+            # alpha-like default 64: measured |delta chi2| <= ~4e-3
+            # absolute on the synthetic DR16-shaped config
+            # (tests/test_grid_collapse.py, docs/performance.md); the
+            # spline stage is C2 so convergence in the node count is
+            # cubic, not spectral
+            if name in ALPHA_LIKE or name.startswith('alpha_smooth'):
+                degree = 64
+            elif name.startswith('drp_'):
+                degree = 12
+            else:
+                degree = 16
+        ref = min(max(value, lo), hi)
+        return lo, hi, int(degree), ref
+
+    def _get_grid_collapsed(self, key, grid_names):
+        """Cached grid-collapse payload for one sampled-parameter set
+        (re-built when the active data vectors change, e.g. Monte-Carlo
+        mocks)."""
+        import os
+        from .gridcollapse import GridSpec, build_grid_payload
+
+        vecs = self._current_data_vecs()
+        data_key = (self.monte_carlo,) + tuple(id(v) for v in vecs.values())
+        if not hasattr(self, '_grid_cache'):
+            self._grid_cache = {}
+        cache_key = (key, data_key)
+        if cache_key in self._grid_cache:
+            return self._grid_cache[cache_key]
+
+        dims = [self._grid_dim_setup(n) for n in grid_names]
+        spec = GridSpec(grid_names, [d[0] for d in dims],
+                        [d[1] for d in dims], [d[2] for d in dims],
+                        [d[3] for d in dims])
+        max_nodes = int(os.environ.get('VEGA_TPU_GRID_MAX_NODES', 40000))
+        if spec.n_nodes > max_nodes:
+            print(f'INFO: grid collapse disabled: {spec} has '
+                  f'{spec.n_nodes} nodes > {max_nodes} '
+                  '(VEGA_TPU_GRID_MAX_NODES); using the dense path')
+            self._grid_cache[cache_key] = {}
+            return {}
+        self._ensure_static_refs()
+        payload = build_grid_payload(self, sorted(key), grid_names, spec)
+        if len(payload) <= 1:       # only '__grid__': nothing factored
+            payload = {}
+        else:
+            payload = {k: (v if k == '__grid__' else
+                           {kk: jnp.asarray(vv) for kk, vv in v.items()})
+                       for k, v in payload.items()}
+        self._grid_cache[cache_key] = payload
+        return payload
 
     def _get_jit_chi2(self):
         if self._jit_chi2 is None:
@@ -651,6 +830,7 @@ class VegaInterface:
                 self._valgrad_keys = None
                 self._hess_cache = {}
                 self._collapsed_cache = {}
+                self._grid_cache = {}
                 self._jit_model_coeffs = {}
             for name, corr_item in self.corr_items.items():
                 if run_init:
@@ -702,7 +882,9 @@ class VegaInterface:
             sample_params = {k: float(v) for k, v in params.items()}
 
         collapsed = self.get_collapsed(sample_params.keys())
-        if not collapsed:
+        if not collapsed or '__grid__' in collapsed:
+            # grid payloads carry quadratic-form tensors, not basis
+            # stacks — model vectors go through the dense graph
             return None
 
         key = frozenset(sample_params.keys())
