@@ -2,6 +2,7 @@
 against the serial re-minimizing scan."""
 
 import numpy as np
+import pytest
 
 from vega_tpu.testing import make_synthetic_dataset
 from vega_tpu.vega_interface import VegaInterface
@@ -59,6 +60,7 @@ def test_batched_scan_2d(tmp_path):
         np.testing.assert_allclose(row['fval'], expected, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_batched_scan_ap_at(tmp_path):
     """2D BAO (ap, at) profile scan through the batched path — the
     AP-sampled regime densifies the spline stage, exercising the dense

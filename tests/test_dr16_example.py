@@ -4,6 +4,9 @@ the global-covariance variant (reference: examples/eBOSS_DR16/
 main_combined.ini, vega_interface.py:888-954)."""
 
 import importlib.util
+import pytest
+
+pytestmark = pytest.mark.slow
 import sys
 from pathlib import Path
 

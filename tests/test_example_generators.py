@@ -2,6 +2,7 @@
 (examples/DESI_*, lyacolore_mocks, Monte_carlo_sims, eBOSS_DR16)."""
 
 import runpy
+import pytest
 import subprocess
 import sys
 from pathlib import Path
@@ -57,6 +58,7 @@ def test_lyacolore_generates(tmp_path):
     assert 'DR9LyaMocks' in main
 
 
+@pytest.mark.slow
 def test_mc_demo_runs(capsys):
     sys.argv = ['run_mc_demo.py']
     runpy.run_path(str(EXAMPLES / 'Monte_carlo_sims' / 'run_mc_demo.py'),

@@ -55,6 +55,7 @@ def test_env_override(monkeypatch):
     assert not utils.use_fast_exp()
 
 
+@pytest.mark.slow
 def test_e2e_parity_with_fast_exp(monkeypatch):
     """Full likelihood with fast_exp forced on matches the exact-exp
     graph at the 1e-8 chi^2 parity budget."""

@@ -87,6 +87,7 @@ def test_gl_weights_sum_to_one(template):
     assert np.max(np.abs(ells[1:])) < 1e-12
 
 
+@pytest.mark.slow
 def test_gl_end_to_end_chi2(template):
     """A full fit setup in GL mode runs and agrees with the midpoint
     default at the quadrature-discretization level."""

@@ -46,6 +46,7 @@ def test_query_count_not_tile_multiple():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_batched_kernel_matches_single():
     rng = np.random.default_rng(3)
     from vega_tpu.ops.pallas_spline import (

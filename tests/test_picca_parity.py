@@ -14,8 +14,9 @@ import pytest
 
 REF = Path('/root/reference')
 
-pytestmark = pytest.mark.skipif(not REF.exists(),
-                                reason='reference checkout not present')
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not REF.exists(),
+                                reason='reference checkout not present')]
 
 
 @pytest.fixture(scope='module')

@@ -67,6 +67,7 @@ def test_rt_wedge():
     assert np.isfinite(vals).all()
 
 
+@pytest.mark.slow
 def test_vega_plots_panels(tmp_path):
     from vega_tpu.testing import make_synthetic_dataset
     from vega_tpu.vega_interface import VegaInterface
@@ -82,6 +83,7 @@ def test_vega_plots_panels(tmp_path):
     assert len(fig.axes) == 4
 
 
+@pytest.mark.slow
 def test_sensitivity_plot(tmp_path):
     from vega_tpu.testing import make_synthetic_dataset
     from vega_tpu.vega_interface import VegaInterface

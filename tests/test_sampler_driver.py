@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from vega_tpu.testing import make_synthetic_dataset
 
 

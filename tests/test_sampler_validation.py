@@ -15,6 +15,8 @@ import tempfile
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from scipy.special import logsumexp
 
 

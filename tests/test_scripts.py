@@ -12,6 +12,7 @@ import pytest
 from vega_tpu.testing import make_synthetic_dataset
 
 
+@pytest.mark.slow
 def test_run_vega_fit_driver(tmp_path):
     """Full fit driver: minimize, write FITS results + wedge/shell PNGs
     (reference: vega/scripts/run_vega.py)."""
@@ -27,6 +28,7 @@ def test_run_vega_fit_driver(tmp_path):
         outfile[:-5], outfile)).exists() or list(tmp_path.glob('*.png'))
 
 
+@pytest.mark.slow
 def test_run_vega_mc_driver(tmp_path):
     """Batched Monte-Carlo driver writes the MC FITS output
     (reference: bin/run_vega_mc_mpi.py)."""
@@ -56,6 +58,7 @@ def test_run_vega_mc_driver(tmp_path):
     assert np.isfinite(values).all()
 
 
+@pytest.mark.slow
 def test_nested_sampler_on_synthetic(tmp_path):
     """Native NS over the real (tiny) likelihood with batched evals."""
     import configparser

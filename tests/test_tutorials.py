@@ -8,6 +8,8 @@ from pathlib import Path
 import matplotlib
 import pytest
 
+pytestmark = pytest.mark.slow
+
 TUTORIALS = sorted(
     (Path(__file__).resolve().parents[1] / 'examples' / 'tutorials').glob(
         '0*.py'))

@@ -17,8 +17,9 @@ import pytest
 
 REF = Path('/root/reference')
 
-pytestmark = pytest.mark.skipif(not REF.exists(),
-                                reason='reference checkout not present')
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not REF.exists(),
+                                reason='reference checkout not present')]
 
 REFERENCE_LOG_LIK = -8766.997108462287   # reference tests/test_vega.py:14
 REFERENCE_BESTFIT_CHI2 = 0.6409716347033996  # reference tests/test_vega.py:18
