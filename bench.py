@@ -63,6 +63,21 @@ def main():
             vega = VegaInterface(make_synthetic_dataset(workdir, cross=True))
             sampled = {'bias_LYA': -0.117, 'beta_LYA': 1.67}
 
+    # VEGA_TPU_BENCH_AP=1: add (alpha_par, alpha_perp) to the batch —
+    # the BAO-sampling regime, served by the grid collapse
+    # (vega_tpu/gridcollapse.py; docs/performance.md for the measured
+    # chi^2 accuracy bound of that path)
+    bench_ap = os.environ.get('VEGA_TPU_BENCH_AP', '0') == '1'
+    if bench_ap:
+        sampled = dict(sampled, ap=1.0, at=1.0)
+        # The bench batch spans ap/at = 1 +/- ~4 sigma x 1% : a narrow
+        # +/-0.06 node domain at 20 nodes/dim has the same node spacing
+        # (= same measured chi^2 accuracy) as the production default
+        # +/-0.25 x 64 while costing 40x less one-time sweep work on
+        # this image's single-core host. Overridable via the usual envs.
+        os.environ.setdefault('VEGA_TPU_GRID_PAD', '0.06')
+        os.environ.setdefault('VEGA_TPU_GRID_NODES', '20')
+
     n_devices = len(jax.devices())
     mesh = make_device_mesh()
     bl = BatchedLikelihood(vega, mesh=mesh)

@@ -76,3 +76,44 @@ def test_batched_kernel_matches_single():
                                 jnp.asarray(xqs), jnp.asarray(legs))
     np.testing.assert_allclose(np.asarray(vmapped), np.asarray(batched),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_combine_gradients_match_xla():
+    """The custom VJP (pallas forward, XLA-formulation backward) agrees
+    with differentiating the plain XLA spline path."""
+    import jax
+    import jax.numpy as jnp
+    from vega_tpu.ops.pallas_spline import make_vmappable_combine
+    from vega_tpu.ops.spline import spline_eval
+
+    rng = np.random.default_rng(0)
+    n_knots, n_q, n_ell = 64, 100, 4
+    knots = np.linspace(0.0, 1.0, n_knots)
+    y = rng.normal(size=(n_ell, n_knots)).astype(np.float32)
+    m = rng.normal(size=(n_ell, n_knots)).astype(np.float32)
+    # keep queries in the interior of knot intervals: at an interval
+    # EDGE the pallas kernel and the XLA path may pick neighboring
+    # intervals in f32 (values are continuous there, but the
+    # gather-slot gradients w.r.t. the knot tables land in adjacent
+    # entries)
+    step = 1.0 / (n_knots - 1)
+    cells = rng.integers(1, n_knots - 2, size=n_q)
+    frac = rng.uniform(0.25, 0.75, size=n_q)
+    xq = ((cells + frac) * step).astype(np.float32)
+    leg = rng.normal(size=(n_ell, n_q)).astype(np.float32)
+
+    combine = make_vmappable_combine(knots, interpret=True)
+
+    def loss_pallas(y, m, xq, leg):
+        return jnp.sum(combine(y, m, xq, leg) ** 2)
+
+    def loss_xla(y, m, xq, leg):
+        vals, _ = spline_eval(knots.astype(np.float32),
+                              y[:, None, :], m[:, None, :], xq[None, :])
+        return jnp.sum(jnp.sum(vals[:, 0, :] * leg, axis=0) ** 2)
+
+    grads_p = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(y, m, xq, leg)
+    grads_x = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(y, m, xq, leg)
+    for gp, gx in zip(grads_p, grads_x):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-4)

@@ -231,19 +231,26 @@ def spline_legendre_combine_batched(logr_knots, xi_knots, m_knots, log_r,
 
 
 def make_vmappable_combine(logr_knots, interpret=False):
-    """custom_vmap wrapper so the fused kernel survives the batched
-    likelihood's vmap (the generic pallas vmap rule cannot tile these
-    block shapes). No autodiff rule: the pallas path is for
-    non-differentiated throughput work (samplers, scans, benchmarking)."""
+    """custom_vmap + custom_vjp wrapper so the fused kernel survives the
+    batched likelihood's vmap (the generic pallas vmap rule cannot tile
+    these block shapes) AND gradient transforms: the forward pass is the
+    Pallas kernel, the backward pass is the vjp of the mathematically
+    identical XLA formulation (ops/spline.py) in the same f32 precision
+    — the whole combine is piecewise-polynomial, so the two agree to
+    float roundoff. This removes the kernel's former gradient-path
+    limitation (minimizer/Newton graphs can now keep the fused forward
+    in the f32 throughput mode)."""
     from jax.custom_batching import custom_vmap
 
+    from .spline import spline_eval
+
     @custom_vmap
-    def combine(xi_knots, m_knots, log_r, legendre_mu):
+    def pallas_forward(xi_knots, m_knots, log_r, legendre_mu):
         return spline_legendre_combine(logr_knots, xi_knots, m_knots,
                                        log_r, legendre_mu,
                                        interpret=interpret)
 
-    @combine.def_vmap
+    @pallas_forward.def_vmap
     def _vmap_rule(axis_size, in_batched, xi_knots, m_knots, log_r,
                    legendre_mu):
         def bcast(x, batched):
@@ -260,4 +267,25 @@ def make_vmappable_combine(logr_knots, interpret=False):
             interpret=interpret)
         return out, True
 
+    def xla_combine(xi_knots, m_knots, log_r, legendre_mu):
+        f32 = jnp.float32
+        vals, _ = spline_eval(np.asarray(logr_knots, np.float32),
+                              xi_knots.astype(f32)[:, None, :],
+                              m_knots.astype(f32)[:, None, :],
+                              log_r.astype(f32)[None, :])
+        return jnp.sum(vals[:, 0, :] * legendre_mu.astype(f32), axis=0)
+
+    @jax.custom_vjp
+    def combine(xi_knots, m_knots, log_r, legendre_mu):
+        return pallas_forward(xi_knots, m_knots, log_r, legendre_mu)
+
+    def fwd(xi_knots, m_knots, log_r, legendre_mu):
+        out = pallas_forward(xi_knots, m_knots, log_r, legendre_mu)
+        return out, (xi_knots, m_knots, log_r, legendre_mu)
+
+    def bwd(residuals, cotangent):
+        _, vjp = jax.vjp(xla_combine, *residuals)
+        return vjp(cotangent.astype(jnp.float32))
+
+    combine.defvjp(fwd, bwd)
     return combine

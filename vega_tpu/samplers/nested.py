@@ -143,6 +143,38 @@ class NestedSampler(Sampler):
         return theta, logl, mean_steps
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _bootstrap_logz_err(dead_logl, dead_neff, live_logl_sorted,
+                            rng, n_boot=200):
+        """Evidence uncertainty by bootstrapping the shrinkage volumes.
+
+        Each realization draws the per-removal compression factors
+        t_i = U^(1/n_eff_i) (the order-statistics distribution of the
+        largest of n_eff uniform volumes), accumulates the trapezoid
+        weights w_i = X_{i-1} - X_i, adds the final live-point block at
+        equal shares of the remaining volume, and recomputes logZ. The
+        reported error is the standard deviation over realizations.
+        """
+        from scipy.special import logsumexp
+
+        n_dead = dead_logl.size
+        n_live = live_logl_sorted.size
+        if n_dead == 0:
+            return np.inf
+        logz_samples = np.empty(n_boot)
+        for b in range(n_boot):
+            ln_t = np.log(rng.uniform(size=n_dead)) / dead_neff
+            ln_x = np.cumsum(ln_t)                  # X_i after removal i
+            ln_x_prev = np.concatenate([[0.0], ln_x[:-1]])
+            # ln(X_{i-1} - X_i), stable in log space
+            ln_w = ln_x_prev + np.log(-np.expm1(ln_x - ln_x_prev))
+            logz_b = logsumexp(ln_w + dead_logl)
+            if n_live:
+                logz_b = np.logaddexp(logz_b, logsumexp(
+                    ln_x[-1] - np.log(n_live) + live_logl_sorted))
+            logz_samples[b] = logz_b
+        return float(np.std(logz_samples))
+
     def run(self):
         """Run the nested-sampling loop; returns a results dict and writes
         the getdist chain + a stats file."""
@@ -176,6 +208,14 @@ class NestedSampler(Sampler):
         k = min(self.batch_size, self.num_live - 1)
         dead_logw = list(np.atleast_1d(state['dead_logw'])) if state is not None \
             else []
+        # effective live count at each removal — the shrinkage
+        # distribution per dead point, kept for the bootstrap evidence
+        # error (t_i ~ Beta(n_eff, 1)); absent in pre-existing resume
+        # files, in which case the bootstrap falls back to n_eff = N
+        if state is not None and 'dead_neff' in state:
+            dead_neff = list(np.atleast_1d(state['dead_neff']))
+        else:
+            dead_neff = [float(self.num_live)] * len(dead_logw)
 
         while it < self.max_iters:
             order = np.argsort(live_logl)
@@ -190,6 +230,7 @@ class NestedSampler(Sampler):
                 n_eff = self.num_live - j
                 logw = log_x + np.log(-np.expm1(-1.0 / n_eff))
                 dead_logw.append(logw + live_logl[worst[j]])
+                dead_neff.append(float(n_eff))
                 log_z = np.logaddexp(log_z, logw + live_logl[worst[j]])
                 log_x = log_x - 1.0 / n_eff
 
@@ -236,9 +277,20 @@ class NestedSampler(Sampler):
                 np.savez(self.checkpoint_path, live_u=self.live_u,
                          live_logl=live_logl, dead_u=dead_u,
                          dead_logl=dead_logl, dead_logw=np.array(dead_logw),
+                         dead_neff=np.array(dead_neff),
                          log_x=log_x, log_z=log_z, it=it, scale=scale)
             if done:
                 break
+
+        # Bootstrap evidence error over the shrinkage distribution BEFORE
+        # folding in the live points: simulate the volume ratios
+        # t_i ~ Beta(n_eff_i, 1) (t = U^(1/n_eff)), rebuild logZ per
+        # realization including the final live-point block, and take the
+        # spread (the standard simulated-volumes estimate; replaces the
+        # crude information-based formula)
+        log_z_err = self._bootstrap_logz_err(
+            np.asarray(dead_logl), np.asarray(dead_neff),
+            np.sort(live_logl), rng)
 
         # Add the remaining live points
         n_live_left = self.num_live
@@ -257,9 +309,6 @@ class NestedSampler(Sampler):
         samples = self.prior_transform(dead_u)
         self.write_chain(samples, weights, dead_logl)
 
-        # Evidence error estimate: information-based
-        h_info = np.sum(weights * (dead_logl - log_z))
-        log_z_err = np.sqrt(max(h_info, 0.) / self.num_live)
         stats_path = Path(self.path) / (self.name + '.stats')
         with open(stats_path, 'w') as f:
             f.write(f'logZ = {log_z} +/- {log_z_err}\n')
