@@ -161,3 +161,36 @@ def test_grid_bao_fit(grid_setup, monkeypatch):
     # noiseless truth: chi2 at the minimum is the interpolation ripple
     assert abs(vega.bestfit.fmin.fval) < 5e-2
     assert np.isfinite(vega.bestfit.fmin.edm)
+
+
+def test_grid_payload_tracks_mc_mock(grid_setup, monkeypatch):
+    """The grid payload bakes the data vector in, so switching to a
+    Monte-Carlo mock must REBUILD it (cache keyed on the active data):
+    the grid chi2 on the mock agrees with the dense chi2 on the mock."""
+    from vega_tpu.vega_interface import VegaInterface
+
+    vega, main_path = grid_setup
+    point = {'ap': 1.02, 'at': 0.98, 'bias_LYA': -0.117,
+             'beta_LYA': 1.67}
+    chi2_data = vega.chi2(point)
+
+    fiducial = vega.compute_model(run_init=False)
+    vega.analysis.create_monte_carlo_sim(fiducial, seed=4)
+    vega.monte_carlo = True
+    try:
+        chi2_mock_grid = vega.chi2(point)
+    finally:
+        vega.monte_carlo = False
+
+    monkeypatch.setenv('VEGA_TPU_GRID_COLLAPSE', '0')
+    vega_dense = VegaInterface(main_path)
+    fiducial = vega_dense.compute_model(run_init=False)
+    vega_dense.analysis.create_monte_carlo_sim(fiducial, seed=4)
+    vega_dense.monte_carlo = True
+    chi2_mock_dense = vega_dense.chi2(point)
+
+    # same seed -> same mock; the grid value must track the mock, not
+    # the original data
+    assert chi2_mock_grid != pytest.approx(chi2_data, rel=1e-3)
+    assert chi2_mock_grid == pytest.approx(chi2_mock_dense, rel=1e-6,
+                                           abs=5e-3)

@@ -37,9 +37,13 @@ POINTS = [
     {'ap': 1.02, 'at': 0.99, 'sigmaNL_par': 6.5, 'sigmaNL_per': 3.0},
 ]
 
+# Bounds: the reference's own sampling limits — [sample] says
+# `param = True`, which resolves to the defaults registry
+# (vega/parameters/default_values.txt: bias_eta_LYA in (-2, 0),
+# beta_LYA in (0, 3)); ap/at take the standard narrow BAO prior.
 FIT_NAMES = ['ap', 'at', 'bias_eta_LYA', 'beta_LYA']
 FIT_BOUNDS = {'ap': (0.8, 1.2), 'at': (0.8, 1.2),
-              'bias_eta_LYA': (-0.5, 0.0), 'beta_LYA': (0.5, 5.0)}
+              'bias_eta_LYA': (-2.0, 0.0), 'beta_LYA': (0.0, 3.0)}
 
 
 def main(out_path=None):
@@ -59,30 +63,39 @@ def main(out_path=None):
             'log_lik': float(vega.log_lik(point)),
         })
 
-    # Tightly-converged best fit via scipy on the reference's chi2
+    # Tightly-converged best fits via BOUNDED scipy minimization of the
+    # reference's chi2 (no unbounded polish: this fixture's posterior is
+    # nearly flat in the scale parameters — unit covariance, small
+    # signal — and an unbounded simplex wanders into degenerate
+    # regions). Two fits are recorded: the reference test's own
+    # 2-parameter nuisance fit (tests/test_vega.py samples
+    # bias_eta_LYA + beta_LYA) and the 4-parameter BAO fit.
     import numpy as np
     from scipy.optimize import minimize
 
     defaults = {name: float(vega.params[name]) for name in FIT_NAMES}
 
-    def chi2_of(x):
-        return float(vega.chi2(dict(zip(FIT_NAMES, (float(v)
-                                                    for v in x)))))
+    def fit(names):
+        def chi2_of(x):
+            return float(vega.chi2(dict(zip(names,
+                                            (float(v) for v in x)))))
+        x0 = np.array([defaults[n] for n in names])
+        res = minimize(chi2_of, x0, method='L-BFGS-B',
+                       bounds=[FIT_BOUNDS[n] for n in names],
+                       options={'ftol': 1e-15, 'gtol': 1e-11,
+                                'maxfun': 20000, 'maxls': 60})
+        res2 = minimize(chi2_of, res.x, method='L-BFGS-B',
+                        bounds=[FIT_BOUNDS[n] for n in names],
+                        options={'ftol': 1e-15, 'gtol': 1e-12,
+                                 'maxfun': 20000, 'maxls': 80})
+        best = res2 if res2.fun <= res.fun else res
+        return {'names': list(names),
+                'values': [float(v) for v in best.x],
+                'fval': float(best.fun),
+                'nfev': int(res.nfev) + int(res2.nfev)}
 
-    x0 = np.array([defaults[n] for n in FIT_NAMES])
-    res = minimize(chi2_of, x0, method='L-BFGS-B',
-                   bounds=[FIT_BOUNDS[n] for n in FIT_NAMES],
-                   options={'ftol': 1e-15, 'gtol': 1e-10, 'maxfun': 20000})
-    res2 = minimize(chi2_of, res.x, method='Nelder-Mead',
-                    options={'xatol': 1e-9, 'fatol': 1e-12,
-                             'maxfev': 20000})
-    best = res2 if res2.fun <= res.fun else res
-    goldens['bao_fit'] = {
-        'names': FIT_NAMES,
-        'values': [float(v) for v in best.x],
-        'fval': float(best.fun),
-        'nfev': int(res.nfev) + int(res2.nfev),
-    }
+    goldens['nuisance_fit'] = fit(['bias_eta_LYA', 'beta_LYA'])
+    goldens['bao_fit'] = fit(FIT_NAMES)
 
     out = Path(out_path) if out_path else (
         REPO / 'tests' / 'data' / 'reference_goldens.json')

@@ -22,11 +22,18 @@ import jax as _jax
 if _os.environ.get('VEGA_TPU_X64', '1') != '0':
     _jax.config.update('jax_enable_x64', True)
 
-# Optional persistent compilation cache (opt-in via VEGA_TPU_COMP_CACHE;
-# not enabled by default because remote-TPU PJRT plugins may not support
-# executable deserialization).
-_cache_dir = _os.environ.get('VEGA_TPU_COMP_CACHE', '')
-if _cache_dir and _cache_dir != '0':
+# Persistent compilation cache, ON by default: probed on this image's
+# remote-TPU ('axon') PJRT plugin — executable deserialization works
+# (a second process reloads a cached executable in ~0.1 s instead of
+# recompiling), so the O(100-250 s) per-process cold compiles of the
+# likelihood graphs are paid once per machine, not once per process.
+# VEGA_TPU_COMP_CACHE=0 disables; any other value overrides the
+# directory (default ~/.cache/vega_tpu_xla). jax falls back to plain
+# compilation on any cache error, so this is never fatal.
+_cache_env = _os.environ.get('VEGA_TPU_COMP_CACHE', '')
+if _cache_env != '0':
+    _cache_dir = _cache_env or _os.path.join(
+        _os.path.expanduser('~'), '.cache', 'vega_tpu_xla')
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update('jax_compilation_cache_dir', _cache_dir)

@@ -462,9 +462,17 @@ class MonteCarloEngine:
             arr, _ = _pad_to_multiple(np.asarray(v), self.mesh.devices.size)
             padded[k] = jnp.asarray(arr)
 
+        # Grid-collapse payloads bake the DATA VECTOR into the node
+        # tensors (e_q = W_q d), so they cannot serve a batch of
+        # per-mock data vectors — mock fits with sampled scale
+        # parameters run through the dense path instead.
+        collapsed = vega.get_collapsed(names)
+        if '__grid__' in collapsed:
+            collapsed = {}
+
         x, errors, cov, chi2, valid = _newton_minimize_batched(
             chi2_of, x0, lo, hi, padded, self.mesh, self.axis_name,
-            max_iterations, collapsed=vega.get_collapsed(names))
+            max_iterations, collapsed=collapsed)
 
         sl = slice(0, num_mocks)
         return {

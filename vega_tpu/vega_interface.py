@@ -633,8 +633,17 @@ class VegaInterface:
             return self._grid_cache[cache_key]
 
         dims = [self._grid_dim_setup(n) for n in grid_names]
+        degrees = [d[2] for d in dims]
+        if len(grid_names) >= 3:
+            # keep the node tensor affordable in 3+ dimensions
+            # (e.g. ap, at, drp_QSO): trim the default alpha degree
+            # 64 -> 48 unless explicitly configured
+            degrees = [48 if (d == 64
+                              and self._control_get(f'grid-nodes-{n}')
+                              is None) else d
+                       for n, d in zip(grid_names, degrees)]
         spec = GridSpec(grid_names, [d[0] for d in dims],
-                        [d[1] for d in dims], [d[2] for d in dims],
+                        [d[1] for d in dims], degrees,
                         [d[3] for d in dims])
         max_nodes = int(os.environ.get('VEGA_TPU_GRID_MAX_NODES', 40000))
         if spec.n_nodes > max_nodes:
@@ -810,8 +819,22 @@ class VegaInterface:
                         with STATICS.bind(statics):
                             return self._model_graph(lp)
                     self._jit_model = jax.jit(model_bound)
-                cf_dict, bad = self._jit_model(local_params,
-                                               STATICS.device_tree())
+                # Model vectors are a once-per-fit product: on an
+                # accelerator backend the dense graph runs on the host
+                # CPU instead (local compile in seconds; the remote
+                # compile service costs O(100-250 s) for a graph that
+                # executes once) — same policy as the collapse pass.
+                try:
+                    cpu = jax.devices('cpu')[0]
+                except Exception:               # pragma: no cover
+                    cpu = None
+                if cpu is not None and jax.default_backend() != 'cpu':
+                    with jax.default_device(cpu):
+                        cf_dict, bad = self._jit_model(
+                            local_params, STATICS.host_tree())
+                else:
+                    cf_dict, bad = self._jit_model(local_params,
+                                                   STATICS.device_tree())
                 if bool(bad):
                     raise utils.VegaModelError(
                         'Model evaluation failed (out-of-bounds '
