@@ -119,7 +119,8 @@ class BatchedLikelihood:
             arr, _ = _pad_to_multiple(v, chunk_total)
             padded[k] = arr.reshape(-1, chunk_total)
         fn = self._build(names)
-        collapsed = self.vega.get_collapsed(names)
+        collapsed = self.vega._device_collapsed(
+            self.vega.get_collapsed(names))
         statics = STATICS.device_tree()
         if jax.process_count() > 1:
             # Multi-host (DCN): jit inputs must be global jax.Arrays.
@@ -370,7 +371,8 @@ def batched_chi2_scan(vega, grids, sample_params=None, mesh=None,
     x, _, _, chi2, valid = _newton_minimize_batched(
         chi2_of, x0, lo, hi, jnp.asarray(padded), mesh, axis_name,
         max_iterations,
-        collapsed=vega.get_collapsed(free_names + scan_names))
+        collapsed=vega._device_collapsed(
+            vega.get_collapsed(free_names + scan_names)))
 
     x = np.asarray(x)[:n_points]
     chi2 = np.asarray(chi2)[:n_points]
@@ -466,7 +468,7 @@ class MonteCarloEngine:
         # tensors (e_q = W_q d), so they cannot serve a batch of
         # per-mock data vectors — mock fits with sampled scale
         # parameters run through the dense path instead.
-        collapsed = vega.get_collapsed(names)
+        collapsed = vega._device_collapsed(vega.get_collapsed(names))
         if '__grid__' in collapsed:
             collapsed = {}
 

@@ -544,14 +544,59 @@ class VegaInterface:
                 with jax.default_device(cpu):
                     out = fn(sample_now, dummy_data, cov_scales,
                              STATICS.host_tree())
-                out = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)),
-                                   out)
             else:
                 out = fn(sample_now, dummy_data, cov_scales,
                          STATICS.device_tree())
+            # cache HOST copies: serial fits consume them on the CPU
+            # backend, batched device work converts lazily
+            # (_device_collapsed)
             self._collapsed_cache[key] = jax.tree.map(
-                lambda x: x.block_until_ready(), out)
+                lambda x: np.asarray(x), out)
         return self._collapsed_cache[key]
+
+    def _device_collapsed(self, collapsed):
+        """Default-device copy of a (host-cached) collapse payload,
+        memoized by payload identity."""
+        if not collapsed:
+            return collapsed
+        if not hasattr(self, '_collapsed_device_memo'):
+            self._collapsed_device_memo = {}
+        key = id(collapsed)
+        if key not in self._collapsed_device_memo:
+            self._collapsed_device_memo[key] = jax.tree.map(
+                jnp.asarray, collapsed)
+        return self._collapsed_device_memo[key]
+
+    def _serial_backend(self, collapsed):
+        """Execution plan for the SERIAL (unbatched) chi^2 / derivative
+        providers: with a collapse payload in hand the per-evaluation
+        graph is a handful of coefficient contractions, so on an
+        accelerator backend these graphs run on the host CPU instead —
+        no remote compile (the axon service costs O(100-300 s) per
+        graph and its persistent-cache 'deserialization' re-compiles
+        server-side for large executables; measured 2026-08-17), and no
+        per-step transport round-trip. Batched throughput work stays on
+        the accelerator. VEGA_TPU_SERIAL_DEVICE=default opts out.
+
+        Returns (device_ctx, statics_tree, collapsed_for_call,
+        data_vecs)."""
+        import contextlib
+        import os
+        use_cpu = (bool(collapsed)
+                   and os.environ.get('VEGA_TPU_SERIAL_DEVICE', 'cpu')
+                   == 'cpu'
+                   and jax.default_backend() != 'cpu')
+        if use_cpu:
+            try:
+                cpu = jax.devices('cpu')[0]
+            except Exception:               # pragma: no cover
+                use_cpu = False
+        if use_cpu:
+            return (jax.default_device(cpu), STATICS.host_tree(),
+                    collapsed, self._current_data_vecs())
+        return (contextlib.nullcontext(), STATICS.device_tree(),
+                self._device_collapsed(collapsed),
+                self._current_data_vecs_device())
 
     # ------------------------------------------------------------------
     # Grid collapse (nonlinear scale parameters; vega_tpu/gridcollapse.py)
@@ -656,10 +701,7 @@ class VegaInterface:
         payload = build_grid_payload(self, sorted(key), grid_names, spec)
         if len(payload) <= 1:       # only '__grid__': nothing factored
             payload = {}
-        else:
-            payload = {k: (v if k == '__grid__' else
-                           {kk: jnp.asarray(vv) for kk, vv in v.items()})
-                       for k, v in payload.items()}
+        # host (numpy) payload cached; device copies via _device_collapsed
         self._grid_cache[cache_key] = payload
         return payload
 
@@ -681,10 +723,12 @@ class VegaInterface:
             self._jit_chi2_valgrad = jax.jit(jax.value_and_grad(
                 lambda p, dv, cs, st, co:
                 self._chi2_graph_bound(p, dv, cs, st, co)[0]))
-        val, grads = self._jit_chi2_valgrad(
-            {k: float(v) for k, v in params.items()},
-            self._current_data_vecs_device(), self._current_cov_scales(),
-            STATICS.device_tree(), self.get_collapsed(params.keys()))
+        collapsed = self.get_collapsed(params.keys())
+        device_ctx, statics, co, data_vecs = self._serial_backend(collapsed)
+        with device_ctx:
+            val, grads = self._jit_chi2_valgrad(
+                {k: float(v) for k, v in params.items()},
+                data_vecs, self._current_cov_scales(), statics, co)
         self._valgrad_keys = frozenset(params.keys())
         return float(val), {k: float(v) for k, v in grads.items()}
 
@@ -696,10 +740,12 @@ class VegaInterface:
             self._jit_chi2_grad = jax.jit(jax.grad(
                 lambda p, dv, cs, st, co:
                 self._chi2_graph_bound(p, dv, cs, st, co)[0]))
-        grads = self._jit_chi2_grad(
-            {k: float(v) for k, v in params.items()},
-            self._current_data_vecs_device(), self._current_cov_scales(),
-            STATICS.device_tree(), self.get_collapsed(params.keys()))
+        collapsed = self.get_collapsed(params.keys())
+        device_ctx, statics, co, data_vecs = self._serial_backend(collapsed)
+        with device_ctx:
+            grads = self._jit_chi2_grad(
+                {k: float(v) for k, v in params.items()},
+                data_vecs, self._current_cov_scales(), statics, co)
         return {k: float(v) for k, v in grads.items()}
 
     def chi2_value_grad_hess(self, params):
@@ -725,10 +771,12 @@ class VegaInterface:
                 return val, grads, hess
 
             self._jit_chi2_vgh = jax.jit(fused)
-        val, grads, hess = self._jit_chi2_vgh(
-            {k: float(v) for k, v in params.items()},
-            self._current_data_vecs_device(), self._current_cov_scales(),
-            STATICS.device_tree(), self.get_collapsed(params.keys()))
+        collapsed = self.get_collapsed(params.keys())
+        device_ctx, statics, co, data_vecs = self._serial_backend(collapsed)
+        with device_ctx:
+            val, grads, hess = self._jit_chi2_vgh(
+                {k: float(v) for k, v in params.items()},
+                data_vecs, self._current_cov_scales(), statics, co)
         names = list(params.keys())
         return (float(val), {k: float(v) for k, v in grads.items()},
                 {n1: {n2: float(hess[n1][n2]) for n2 in names}
@@ -752,10 +800,12 @@ class VegaInterface:
                                               cs, statics, co)[0]
             self._hess_cache[key] = jax.jit(jax.hessian(fn))
 
-        hess = self._hess_cache[key](
-            free, fixed, self._current_data_vecs_device(),
-            self._current_cov_scales(), STATICS.device_tree(),
-            self.get_collapsed(params.keys()))
+        collapsed = self.get_collapsed(params.keys())
+        device_ctx, statics, co, data_vecs = self._serial_backend(collapsed)
+        with device_ctx:
+            hess = self._hess_cache[key](
+                free, fixed, data_vecs,
+                self._current_cov_scales(), statics, co)
         return {n1: {n2: float(hess[n1][n2]) for n2 in free_names}
                 for n1 in free_names}
 
@@ -933,7 +983,19 @@ class VegaInterface:
             self._jit_model_coeffs[key] = (jax.jit(coeffs_bound), kinds)
 
         fn, kinds = self._jit_model_coeffs[key]
-        out, bad = fn(sample_params, STATICS.device_tree())
+        # once-per-fit product: on an accelerator backend the (small)
+        # coefficient graph runs on the host CPU — the remote compile
+        # service would cost O(100-250 s) for a graph that executes a
+        # handful of times (same policy as the dense fallback below)
+        try:
+            cpu = jax.devices('cpu')[0]
+        except Exception:                   # pragma: no cover
+            cpu = None
+        if cpu is not None and jax.default_backend() != 'cpu':
+            with jax.default_device(cpu):
+                out, bad = fn(sample_params, STATICS.host_tree())
+        else:
+            out, bad = fn(sample_params, STATICS.device_tree())
         if bool(bad):
             raise utils.VegaModelError(
                 'Model evaluation failed (out-of-bounds interpolation '
@@ -958,7 +1020,6 @@ class VegaInterface:
             return self._chi2_eager(params, direct_pk, return_marg_coeff)
 
         sample_params = {} if params is None else dict(params)
-        data_vecs = self._current_data_vecs_device()
         cov_scales = self._current_cov_scales()
 
         # Reuse the already-compiled value+gradient graph when the plain
@@ -975,19 +1036,21 @@ class VegaInterface:
             sample_params = {n: float(self.params[n])
                              for n in self._valgrad_keys}
         marg_coeff = {}
+        collapsed = self.get_collapsed(sample_params.keys())
+        device_ctx, statics, co, data_vecs = self._serial_backend(collapsed)
         if (self._jit_chi2 is None and not self.marginalize_in_fit
                 and getattr(self, '_jit_chi2_valgrad', None) is not None
                 and getattr(self, '_valgrad_keys', None)
                 == frozenset(sample_params.keys())):
-            val, _ = self._jit_chi2_valgrad(
-                {k: float(v) for k, v in sample_params.items()},
-                data_vecs, cov_scales, STATICS.device_tree(),
-                self.get_collapsed(sample_params.keys()))
+            with device_ctx:
+                val, _ = self._jit_chi2_valgrad(
+                    {k: float(v) for k, v in sample_params.items()},
+                    data_vecs, cov_scales, statics, co)
             chi2 = float(val)
         else:
-            chi2, marg_coeff = self._get_jit_chi2()(
-                sample_params, data_vecs, cov_scales, STATICS.device_tree(),
-                self.get_collapsed(sample_params.keys()))
+            with device_ctx:
+                chi2, marg_coeff = self._get_jit_chi2()(
+                    sample_params, data_vecs, cov_scales, statics, co)
             chi2 = float(chi2)
 
         if return_marg_coeff:
@@ -1093,7 +1156,8 @@ class VegaInterface:
             in_axes=(0, None, None))
         return np.asarray(jax.jit(fn)(
             param_batches, STATICS.device_tree(),
-            self.get_collapsed(param_batches.keys())))
+            self._device_collapsed(
+                self.get_collapsed(param_batches.keys()))))
 
     def log_lik_batch(self, param_batches):
         chi2 = self.chi2_batch(param_batches)
