@@ -379,12 +379,25 @@ class Minimizer:
             # EDM (MINUIT's estimated distance to minimum): with the
             # exact gradient g and Hessian H = 2 cov^-1 in hand,
             # edm = g.(H^-1 g)/2 = g.(cov g)/4 (reference exposes
-            # MIGRAD's value, minimizer.py:105-187 via iminuit)
+            # MIGRAD's value, minimizer.py:105-187 via iminuit).
+            # Gradient components blocked by an ACTIVE bound are
+            # projected out first — at a limit the feasible distance to
+            # the minimum is zero along that direction (MIGRAD's
+            # internal sin-transform makes its gradient vanish there).
             if free_names and not hesse_failed:
                 full = {**fixed_values,
                         **{k: bestfit[k] for k in free_names}}
                 g = self._grad_at(full, free_names)
                 if g is not None and np.all(np.isfinite(cov)):
+                    g = np.array(g, dtype=float)
+                    for i, name in enumerate(free_names):
+                        lo, hi = limits.get(name, (None, None))
+                        x = bestfit[name]
+                        tol = 1e-10 * max(1.0, abs(x))
+                        if lo is not None and x <= lo + tol and g[i] > 0:
+                            g[i] = 0.0
+                        if hi is not None and x >= hi - tol and g[i] < 0:
+                            g[i] = 0.0
                     edm = float(g @ (cov @ g) / 4.0)
 
         # Assemble Minuit-compatible results over ALL named parameters

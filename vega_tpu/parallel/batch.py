@@ -464,13 +464,18 @@ class MonteCarloEngine:
             arr, _ = _pad_to_multiple(np.asarray(v), self.mesh.devices.size)
             padded[k] = jnp.asarray(arr)
 
-        # Grid-collapse payloads bake the DATA VECTOR into the node
-        # tensors (e_q = W_q d), so they cannot serve a batch of
-        # per-mock data vectors — mock fits with sampled scale
-        # parameters run through the dense path instead.
+        # Data-dependent payload pieces cannot serve a batch of per-mock
+        # data vectors: grid-collapse payloads bake the data in entirely
+        # (mock fits with sampled scale parameters run dense), and the
+        # plain collapse's pre-reduced (y, s) terms are stripped so the
+        # graph keeps the in-graph r = d - m0 form per mock.
         collapsed = vega._device_collapsed(vega.get_collapsed(names))
         if '__grid__' in collapsed:
             collapsed = {}
+        else:
+            collapsed = {name: {k: v for k, v in tensors.items()
+                                if k not in ('y', 's')}
+                         for name, tensors in collapsed.items()}
 
         x, errors, cov, chi2, valid = _newton_minimize_batched(
             chi2_of, x0, lo, hi, padded, self.mesh, self.axis_name,

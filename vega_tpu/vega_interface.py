@@ -443,10 +443,18 @@ class VegaInterface:
                         # d'Cd - 2c.Wd + c.Ac loses ~5 digits in f64 and
                         # is unusable in f32)
                         dc = c - collapsed[name]['c0']
-                        r = d - collapsed[name]['m0']   # m0 already masked
-                        chi2_corr = (r @ (inv_cov @ r)
-                                     - 2.0 * (dc @ (w_mat @ r))
-                                     + dc @ (a_mat @ dc))
+                        if 'y' in collapsed[name]:
+                            # data terms pre-reduced on the host
+                            # (_with_collapse_data_terms): the per-eval
+                            # graph touches nothing data-vector-sized
+                            chi2_corr = (collapsed[name]['s']
+                                         - 2.0 * (dc @ collapsed[name]['y'])
+                                         + dc @ (a_mat @ dc))
+                        else:
+                            r = d - collapsed[name]['m0']  # m0 masked
+                            chi2_corr = (r @ (inv_cov @ r)
+                                         - 2.0 * (dc @ (w_mat @ r))
+                                         + dc @ (a_mat @ dc))
                     else:
                         w_mat = fxi.V @ inv_cov         # (T, nm)
                         a_mat = w_mat @ fxi.V.T         # (T, T)
@@ -552,7 +560,36 @@ class VegaInterface:
             # (_device_collapsed)
             self._collapsed_cache[key] = jax.tree.map(
                 lambda x: np.asarray(x), out)
-        return self._collapsed_cache[key]
+        return self._with_collapse_data_terms(key,
+                                              self._collapsed_cache[key])
+
+    def _with_collapse_data_terms(self, key, collapsed):
+        """Merge the data-side reductions of the centered quadratic form
+        into a plain-collapse payload:  y = W r  and  s = r'C r  with
+        r = d - m0 against the ACTIVE data vector. Exact hoisting of the
+        per-call unbatched prefix (host f64) — each chi^2 evaluation is
+        then two (T,)-sized contractions with no data-vector arithmetic
+        at all. Cached per data version; consumers that batch OVER data
+        vectors (the Monte-Carlo engine) strip these keys and keep the
+        in-graph r = d - m0 form."""
+        if not collapsed:
+            return collapsed
+        vecs = self._current_data_vecs()
+        data_key = (key, self.monte_carlo,
+                    tuple(id(v) for v in vecs.values()))
+        if not hasattr(self, '_collapse_data_cache'):
+            self._collapse_data_cache = {}
+        if data_key not in self._collapse_data_cache:
+            merged = {}
+            for name, tensors in collapsed.items():
+                d = np.asarray(vecs[name])
+                r = d - tensors['m0']
+                inv_cov = np.asarray(self.data[name].inv_masked_cov)
+                merged[name] = dict(tensors,
+                                    y=tensors['W'] @ r,
+                                    s=float(r @ (inv_cov @ r)))
+            self._collapse_data_cache[data_key] = merged
+        return self._collapse_data_cache[data_key]
 
     def _device_collapsed(self, collapsed):
         """Default-device copy of a (host-cached) collapse payload,
