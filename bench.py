@@ -17,11 +17,13 @@ core (BASELINE.md quotes no number; this is a measured-order estimate of
 the cached path, generous to the reference). vs_baseline = value / 10.
 
 Measured on the v5e (2026-08-17): f64 (parity grade, chi^2 agreement
-~1e-9 relative) 7786 evals/s/chip at batch 2048 via the factored
-linear-model path + collapsed quadratic form (vega_tpu/factored.py;
+~1e-9 relative) 53714 evals/s/chip at batch 2048 via the factored
+linear-model path + collapsed quadratic form with hoisted data terms
+(vega_tpu/factored.py, VegaInterface._with_collapse_data_terms;
 docs/performance.md has the ablation: 282 dense, 769 factored-Kaiser,
-5737 at batch 512). The default reported number is the
-accuracy-qualified f64 one.
+7786 pre-hoisting, 22046 with (ap, at) in the batch via the grid
+collapse). The default reported number is the accuracy-qualified f64
+one.
 """
 
 import contextlib

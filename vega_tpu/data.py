@@ -72,7 +72,11 @@ class Data:
             self._cov_mat = np.eye(self.full_data_size)
         self.variance = (np.ones(self.full_data_size) if low_mem
                          else self.cov_mat.diagonal().copy())
-        self.cov_mat_org = None if low_mem else self.cov_mat.copy()
+        # cov_mat_org aliases cov_mat until something mutates it in
+        # place (only the marginalization cov-update does, which takes a
+        # real copy first) — the eager ~50 MB copy per correlation was
+        # ~20% of interface init for nothing
+        self.cov_mat_org = None if low_mem else self.cov_mat
 
         self.marg_templates = None
         self.cov_marg_update = None
@@ -119,6 +123,8 @@ class Data:
         if marginalize_in_fit:
             self.cov_marg_update = None
         else:
+            if self.cov_mat_org is self._cov_mat:
+                self.cov_mat_org = self._cov_mat.copy()
             self._cov_mat[np.ix_(self.data_mask, self.data_mask)] += \
                 self.cov_marg_update
 

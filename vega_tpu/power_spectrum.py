@@ -55,6 +55,57 @@ class FactoredPk:
         return out
 
 
+# (mu_k x k) grid bundles are identical for every tracer pair of one
+# dataset (same k grid, quadrature and bin sizes) — the DR16 flagship
+# config builds 42 PowerSpectrum instances whose grids and sinc binning
+# windows would otherwise be recomputed 42 times (~25% of interface
+# init). Keyed on grid content, shared process-wide.
+_GRID_BUNDLE_CACHE = {}
+
+
+def _grid_bundle(k_grid, num_bins_muk, quadrature, bin_size_rp,
+                 bin_size_rt, use_Gk):
+    key = (hash(k_grid.tobytes()), k_grid.size, num_bins_muk, quadrature,
+           bin_size_rp, bin_size_rt, use_Gk)
+    bundle = _GRID_BUNDLE_CACHE.get(key)
+    if bundle is not None:
+        return bundle
+    if quadrature == 'midpoint':
+        muk_grid = (np.arange(num_bins_muk) + 0.5) / num_bins_muk
+        muk_weights = np.full(num_bins_muk, 1.0 / num_bins_muk)
+    elif quadrature == 'gauss-legendre':
+        nodes, gl_weights = np.polynomial.legendre.leggauss(num_bins_muk)
+        muk_grid = (nodes + 1.0) / 2.0
+        muk_weights = gl_weights / 2.0
+    else:
+        raise ValueError(
+            f'Unknown muk-quadrature "{quadrature}" '
+            '(use midpoint or gauss-legendre)')
+    muk_grid = muk_grid[:, None]
+    k_par_grid = k_grid * muk_grid
+    k_trans_grid = k_grid * np.sqrt(1 - muk_grid ** 2)
+    # Static binning window G(k) (reference caches it lazily at
+    # power_spectrum.py:139-141; here it is init-time). Computed with
+    # numpy: eager jax ops at init would each dispatch/compile on the
+    # device, which is pathological over a remote-TPU transport.
+    pk_Gk = None
+    pk_gk_ref = None
+    if use_Gk:
+        gk = np.ones_like(k_par_grid)
+        if bin_size_rp != 0:
+            gk = gk * utils.np_sinc(k_par_grid * bin_size_rp / 2)
+        if bin_size_rt != 0:
+            gk = gk * utils.np_sinc(k_trans_grid * bin_size_rt / 2)
+        pk_Gk = gk
+        pk_gk_ref = register_static(pk_Gk, 'gk')
+    bundle = (muk_grid, muk_weights, k_par_grid, k_trans_grid,
+              register_static(k_par_grid, 'kpar'),
+              register_static(k_trans_grid, 'ktrans'),
+              pk_Gk, pk_gk_ref)
+    _GRID_BUNDLE_CACHE[key] = bundle
+    return bundle
+
+
 class PowerSpectrum:
     """Power-spectrum model for one tracer pair.
 
@@ -117,41 +168,14 @@ class PowerSpectrum:
         # ~1/15 of the grid work (a validated performance mode, not a
         # parity mode; see docs/performance.md and tests/test_muk_quadrature.py)
         quadrature = config.get('muk-quadrature', 'midpoint')
-        if quadrature == 'midpoint':
-            muk_grid = (np.arange(num_bins_muk) + 0.5) / num_bins_muk
-            self.muk_weights = np.full(num_bins_muk, 1.0 / num_bins_muk)
-        elif quadrature == 'gauss-legendre':
-            nodes, gl_weights = np.polynomial.legendre.leggauss(num_bins_muk)
-            muk_grid = (nodes + 1.0) / 2.0
-            self.muk_weights = gl_weights / 2.0
-        else:
-            raise ValueError(
-                f'Unknown muk-quadrature "{quadrature}" '
-                '(use midpoint or gauss-legendre)')
-        self.muk_grid = muk_grid[:, None]
-        self.k_par_grid = self.k_grid * self.muk_grid
-        self.k_trans_grid = self.k_grid * np.sqrt(1 - self.muk_grid ** 2)
-        # Large (muk x k) grids go through the statics store (shared by all
-        # tracer pairs on the same grids; see vega_tpu.statics)
-        self._kpar_ref = register_static(self.k_par_grid, 'kpar')
-        self._ktrans_ref = register_static(self.k_trans_grid, 'ktrans')
-
-        # Static binning window G(k) (reference caches it lazily at
-        # power_spectrum.py:139-141; here it is init-time). Computed with
-        # numpy: eager jax ops at init would each dispatch/compile on the
-        # device, which is pathological over a remote-TPU transport.
-        self.pk_Gk = None
-        self._pk_gk_ref = None
-        if self.use_Gk:
-            gk = np.ones_like(self.k_par_grid)
-            if self._bin_size_rp != 0:
-                gk = gk * utils.np_sinc(self.k_par_grid
-                                        * self._bin_size_rp / 2)
-            if self._bin_size_rt != 0:
-                gk = gk * utils.np_sinc(self.k_trans_grid
-                                        * self._bin_size_rt / 2)
-            self.pk_Gk = gk
-            self._pk_gk_ref = register_static(self.pk_Gk, 'gk')
+        # Large (muk x k) grids go through the statics store (shared by
+        # all tracer pairs on the same grids; see vega_tpu.statics), and
+        # the whole bundle is memoized across instances (_grid_bundle)
+        (self.muk_grid, self.muk_weights, self.k_par_grid,
+         self.k_trans_grid, self._kpar_ref, self._ktrans_ref,
+         self.pk_Gk, self._pk_gk_ref) = _grid_bundle(
+            self.k_grid, num_bins_muk, quadrature,
+            self._bin_size_rp, self._bin_size_rt, self.use_Gk)
 
     def _kp(self):
         return resolve(self._kpar_ref)
