@@ -1,0 +1,81 @@
+"""Model-feature variant parity against goldens from a LIVE reference run.
+
+tests/tools/make_reference_variant_goldens.py executes the ACTUAL
+reference (/root/reference, through the tests/refshims dependency
+shims) on config variants that toggle the model axes the base main.ini
+does not exercise — HCD fvoigt/sinc, gaussian velocity dispersion,
+Croom z-evolution, McDonald NL, aiso_epsilon / phi_alpha /
+smooth-scaling / full-shape-alpha scale modes, old growth function,
+relativistic + standard-asymmetry cross terms — and records chi2 and
+log_lik at parameter points. Both frameworks read the SAME generated
+config files (tests/tools/variant_configs.py), so a mismatch here is a
+model discrepancy, not a config-interpretation one.
+
+Reference anchors: power_spectrum.py:128-188/291-303/427-428,
+correlation_func.py:71-104/316-371, scale_parameters.py:20-230,
+pktoxi.py:346-379.
+"""
+
+import json
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+GOLDENS = REPO / 'tests' / 'data' / 'reference_variant_goldens.json'
+REF = Path('/root/reference')
+
+sys.path.insert(0, str(REPO / 'tests' / 'tools'))
+from variant_configs import VARIANTS, build_variant  # noqa: E402
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not REF.exists(),
+                       reason='reference checkout not present'),
+    pytest.mark.skipif(not GOLDENS.exists(),
+                       reason='run tests/tools/'
+                              'make_reference_variant_goldens.py first'),
+]
+
+
+@pytest.fixture(scope='module')
+def goldens():
+    return json.loads(GOLDENS.read_text())
+
+
+@pytest.mark.parametrize('variant', sorted(VARIANTS))
+def test_variant_parity_with_live_reference(variant, goldens, tmp_path,
+                                            monkeypatch):
+    """chi2/log_lik agreement on every recorded point of the variant,
+    via the exact dense pipeline (grid collapse off).
+
+    The residual floor is the refshims transform-offset difference
+    (tests/refshims/README.md), not a model discrepancy: measured
+    model-vector maxabs vs the live reference is ~1.8e-6 on the BASE
+    config and ~2.0e-6 on the variants (same floor, no added error),
+    which projects to chi2 deltas up to ~8e-7 depending on the
+    parameter point — hence abs=2e-6 here vs test_reference_goldens'
+    5e-7 (whose points sit closer to the residual null space)."""
+    if variant not in goldens:
+        pytest.skip(f'no golden for {variant} yet — regenerate with '
+                    'tests/tools/make_reference_variant_goldens.py')
+    monkeypatch.setenv('VEGA_TPU_GRID_COLLAPSE', '0')
+    main_ini = build_variant(variant, tmp_path)
+
+    from vega_tpu.vega_interface import VegaInterface
+    cwd = os.getcwd()
+    os.chdir(REF / 'tests')
+    try:
+        vega = VegaInterface(str(main_ini))
+        for entry in goldens[variant]:
+            params = dict(entry['params'])
+            assert vega.chi2(params) == pytest.approx(
+                entry['chi2'], rel=1e-6, abs=2e-6), \
+                f'{variant}: chi2 mismatch at {params}'
+        first = goldens[variant][0]
+        assert vega.log_lik(dict(first['params'])) == pytest.approx(
+            first['log_lik'], rel=1e-9), f'{variant}: log_lik mismatch'
+    finally:
+        os.chdir(cwd)
