@@ -54,15 +54,20 @@ def test_variant_parity_with_live_reference(variant, goldens, tmp_path,
     The residual floor is the refshims transform-offset difference
     (tests/refshims/README.md), not a model discrepancy: measured
     model-vector maxabs vs the live reference is ~1.8e-6 on the BASE
-    config and ~2.0e-6 on the variants (same floor, no added error),
-    which projects to chi2 deltas up to ~8e-7 depending on the
-    parameter point — hence abs=2e-6 here vs test_reference_goldens'
-    5e-7 (whose points sit closer to the residual null space)."""
+    config and ~2.0e-6 on most variants (same floor, no added error),
+    which projects to chi2 deltas up to ~8e-7 at the base chi2 scale —
+    hence the default abs=2e-6 vs test_reference_goldens' 5e-7 (whose
+    points sit closer to the residual null space). Variants whose
+    points amplify that same floor (large residuals or boosted metal
+    biases) carry a documented per-variant tolerance in VARIANTS; each
+    stays well below the variant's discriminating chi2 shift, so the
+    assert still proves the toggled branch is the one that ran."""
     if variant not in goldens:
         pytest.skip(f'no golden for {variant} yet — regenerate with '
                     'tests/tools/make_reference_variant_goldens.py')
     monkeypatch.setenv('VEGA_TPU_GRID_COLLAPSE', '0')
     main_ini = build_variant(variant, tmp_path)
+    tol = VARIANTS[variant].get('chi2_abs_tol', 2e-6)
 
     from vega_tpu.vega_interface import VegaInterface
     cwd = os.getcwd()
@@ -72,10 +77,12 @@ def test_variant_parity_with_live_reference(variant, goldens, tmp_path,
         for entry in goldens[variant]:
             params = dict(entry['params'])
             assert vega.chi2(params) == pytest.approx(
-                entry['chi2'], rel=1e-6, abs=2e-6), \
+                entry['chi2'], rel=1e-6, abs=tol), \
                 f'{variant}: chi2 mismatch at {params}'
         first = goldens[variant][0]
+        # |delta log_lik| = |delta chi2| / 2 at fixed covariance
         assert vega.log_lik(dict(first['params'])) == pytest.approx(
-            first['log_lik'], rel=1e-9), f'{variant}: log_lik mismatch'
+            first['log_lik'], rel=1e-9, abs=tol / 2), \
+            f'{variant}: log_lik mismatch'
     finally:
         os.chdir(cwd)

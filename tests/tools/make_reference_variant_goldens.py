@@ -57,9 +57,10 @@ def main(out_path=None, only=None):
                   flush=True)
         goldens[name] = entries
         del vega
+        # incremental write: a crash in a later variant keeps progress
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(goldens, indent=1))
 
-    out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text(json.dumps(goldens, indent=1))
     print(f'wrote {out}')
 
 
