@@ -42,7 +42,11 @@ pytestmark = [
 
 @pytest.fixture(scope='module')
 def goldens():
-    return json.loads(GOLDENS.read_text())
+    raw = json.loads(GOLDENS.read_text())
+    # legacy bare-list entries -> {'points': [...]}
+    return {name: (entry if isinstance(entry, dict)
+                   else {'points': entry})
+            for name, entry in raw.items()}
 
 
 @pytest.mark.parametrize('variant', sorted(VARIANTS))
@@ -74,15 +78,69 @@ def test_variant_parity_with_live_reference(variant, goldens, tmp_path,
     os.chdir(REF / 'tests')
     try:
         vega = VegaInterface(str(main_ini))
-        for entry in goldens[variant]:
+        for entry in goldens[variant]['points']:
             params = dict(entry['params'])
             assert vega.chi2(params) == pytest.approx(
                 entry['chi2'], rel=1e-6, abs=tol), \
                 f'{variant}: chi2 mismatch at {params}'
-        first = goldens[variant][0]
+        first = goldens[variant]['points'][0]
         # |delta log_lik| = |delta chi2| / 2 at fixed covariance
         assert vega.log_lik(dict(first['params'])) == pytest.approx(
             first['log_lik'], rel=1e-9, abs=tol / 2), \
             f'{variant}: log_lik mismatch'
+    finally:
+        os.chdir(cwd)
+
+
+FIT_VARIANTS = sorted(v for v in VARIANTS if 'fit' in VARIANTS[v])
+
+
+@pytest.mark.parametrize('variant', FIT_VARIANTS)
+def test_variant_fit_parity_with_live_reference(variant, goldens, tmp_path,
+                                                monkeypatch):
+    """Fit parity in the non-default scale parametrisations
+    (aiso_epsilon, phi_alpha): the live reference's tightly-converged
+    bounded minimum is reproduced — chi2-function agreement at their
+    best point, our exact gradient is (feasibly) flat there, and our
+    own minimizer lands at the same parameters at least as low."""
+    fit = goldens.get(variant, {}).get('fit')
+    if fit is None:
+        pytest.skip(f'no fit golden for {variant} yet — regenerate with '
+                    'tests/tools/make_reference_variant_goldens.py')
+    monkeypatch.setenv('VEGA_TPU_GRID_COLLAPSE', '0')
+    main_ini = build_variant(variant, tmp_path)
+    ref_best = dict(zip(fit['names'], fit['values']))
+    bounds = VARIANTS[variant]['fit']['bounds']
+
+    from vega_tpu.vega_interface import VegaInterface
+    cwd = os.getcwd()
+    os.chdir(REF / 'tests')
+    try:
+        vega = VegaInterface(str(main_ini))
+        # chi2-FUNCTION parity at the reference's minimum (floor: see
+        # test_variant_parity_with_live_reference)
+        assert vega.chi2(dict(ref_best)) == pytest.approx(
+            fit['fval'], rel=1e-6, abs=2e-6)
+        # our exact gradient is feasibly flat at their minimum: project
+        # out components blocked by an active bound, as the EDM does
+        grads = vega.chi2_gradient(dict(ref_best))
+        for name in fit['names']:
+            g = grads[name]
+            lo, hi = bounds[name]
+            x = ref_best[name]
+            eps = 1e-8 * max(1.0, abs(x))
+            if (lo is not None and x <= lo + eps and g > 0) or \
+               (hi is not None and x >= hi - eps and g < 0):
+                continue
+            assert abs(g) < 5e-4, \
+                f'{variant}: gradient not flat at ref minimum for {name}'
+        # our own fit reaches the same point, at least as low
+        vega.minimize()
+        values = dict(vega.bestfit.values)
+        for name in fit['names']:
+            assert values[name] == pytest.approx(ref_best[name],
+                                                 abs=2e-3), \
+                f'{variant}: best-fit mismatch for {name}'
+        assert vega.bestfit.fmin.fval <= fit['fval'] + 1e-6
     finally:
         os.chdir(cwd)

@@ -33,6 +33,28 @@ def test_run_vega_sampler_nested(tmp_path):
     assert np.isfinite(chain).all()
 
 
+def test_run_vega_sampler_hmc(tmp_path):
+    """run_vega_sampler with the native exact-gradient HMC sampler."""
+    out_dir = tmp_path / 'output_sampler'
+    out_dir.mkdir()
+    main_path = make_synthetic_dataset(
+        tmp_path, cross=False, size='tiny', noise=1.0)
+    text = main_path.read_text().replace(
+        '[control]\n', '[control]\nrun_sampler = True\nsampler = HMC\n')
+    text += (f'\n[HMC]\npath = {out_dir}\nname = synth_hmc\n'
+             'num_chains = 8\nnum_samples = 60\nnum_warmup = 60\n'
+             'num_leapfrog = 8\nseed = 3\n')
+    main_path.write_text(text)
+
+    from vega_tpu.scripts.run_vega_sampler import main as sampler_main
+    assert sampler_main([str(main_path)]) == 0
+    assert (out_dir / 'synth_hmc.txt').exists()
+    assert (out_dir / 'synth_hmc.paramnames').exists()
+    chain = np.loadtxt(out_dir / 'synth_hmc.txt')
+    assert chain.shape == (8 * 60, 4)  # weight, -2lnL, 2 params
+    assert np.isfinite(chain).all()
+
+
 def test_run_vega_mc_fits(tmp_path):
     """Saved-mock re-fits (replaces bin/run_vega_mc_fits_mpi.py)."""
     control = ('run_montecarlo = True\nnum_mc_mocks = 3\nmc_seed = 2\n'

@@ -65,7 +65,7 @@ def posterior():
     assert abs(corr) > 0.5
 
     return {'log_lik': log_lik, 'limits': limits, 'logz': logz,
-            'mean': mean, 'cov': cov, 'corr': corr}
+            'mean': mean, 'cov': cov, 'corr': corr, 'vega': vega}
 
 
 def _make_config(tmp_path, name, **options):
@@ -123,4 +123,24 @@ def test_smc_sampler_curved_posterior(tmp_path, posterior):
     results = sampler.run()
     assert results['logz'] == pytest.approx(posterior['logz'], abs=0.25)
     _check_moments(results['samples'], results['weights'], posterior,
+                   mean_tol=0.1, sig_tol=0.1, corr_tol=0.1)
+
+
+def test_hmc_sampler_curved_posterior(tmp_path, posterior):
+    """The exact-gradient HMC sampler reproduces the brute-force
+    posterior moments on the same curved likelihood, with converged
+    chains (split-R-hat) and a healthy acceptance rate. HMC samples the
+    posterior only (no evidence), so the logZ check does not apply."""
+    from vega_tpu.samplers.hmc import HMC
+    sampler = HMC(
+        _make_config(tmp_path, 'curved_hmc', num_chains=32,
+                     num_samples=600, num_warmup=400, num_leapfrog=12,
+                     seed=1),
+        posterior['limits'], posterior['vega'])
+    results = sampler.run()
+    assert np.max(results['r_hat']) < 1.02
+    assert 0.5 < results['accept_rate'] <= 1.0
+    assert np.min(results['ess']) > 300
+    _check_moments(results['samples'],
+                   np.ones(len(results['samples'])), posterior,
                    mean_tol=0.1, sig_tol=0.1, corr_tol=0.1)

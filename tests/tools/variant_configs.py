@@ -33,7 +33,11 @@ CROSSES = ['lyalya_qso', 'lyalyb_qso']
 #   broadband:  same shape, merged into [broadband].
 #   cosmo:      merged into main.ini's [cosmo-fit type].
 #   params:     merged into main.ini's [parameters].
+#   sample:     merged into main.ini's [sample] ("param = min max").
 #   points:     parameter-override dicts evaluated for chi2/log_lik.
+#   fit:        {names, bounds} — the golden generator additionally runs
+#               a tightly-converged bounded scipy fit of the reference's
+#               chi2 over these parameters and records (values, fval).
 #   chi2_abs_tol: absolute chi2 tolerance override (default 2e-6 — the
 #               measured model-vector floor of the refshims FFTLog
 #               offset difference projected through the covariance at
@@ -81,12 +85,27 @@ VARIANTS = {
         'params': {'aiso': '1.0', 'epsilon': '0.0'},
         'points': [{'aiso': 1.02, 'epsilon': 0.015},
                    {'aiso': 0.96, 'epsilon': -0.03, 'beta_LYA': 1.5}],
+        # tightly-converged live-reference fit in THIS parametrisation
+        # (scipy L-BFGS-B on the reference's chi2, same recipe as
+        # make_reference_goldens.py) — extends the fit-parity oracle
+        # beyond ap_at. 'sample' is merged into main.ini's [sample] so
+        # vega_tpu's own minimizer fits the same problem.
+        'fit': {'names': ['aiso', 'epsilon', 'bias_eta_LYA', 'beta_LYA'],
+                'bounds': {'aiso': (0.8, 1.2), 'epsilon': (-0.1, 0.1),
+                           'bias_eta_LYA': (-2.0, 0.0),
+                           'beta_LYA': (0.0, 3.0)}},
+        'sample': {'aiso': '0.8 1.2', 'epsilon': '-0.1 0.1'},
     },
     'phi_alpha': {
         'cosmo': {'cosmo fit func': 'phi_alpha'},
         'params': {'phi': '1.0', 'alpha': '1.0'},
         'points': [{'phi': 1.04, 'alpha': 0.97},
                    {'phi': 0.93, 'alpha': 1.05, 'bias_eta_LYA': -0.22}],
+        'fit': {'names': ['phi', 'alpha', 'bias_eta_LYA', 'beta_LYA'],
+                'bounds': {'phi': (0.8, 1.2), 'alpha': (0.8, 1.2),
+                           'bias_eta_LYA': (-2.0, 0.0),
+                           'beta_LYA': (0.0, 3.0)}},
+        'sample': {'phi': '0.8 1.2', 'alpha': '0.8 1.2'},
     },
     'smooth_scaling': {
         'cosmo': {'cosmo fit func': 'phi_alpha', 'smooth-scaling': 'True'},
@@ -258,6 +277,8 @@ def build_variant(name, out_dir):
         main['cosmo-fit type'][key] = value
     for key, value in spec.get('params', {}).items():
         main['parameters'][key] = value
+    for key, value in spec.get('sample', {}).items():
+        main['sample'][key] = value
     main_path = out_dir / 'main.ini'
     with open(main_path, 'w') as f:
         main.write(f)

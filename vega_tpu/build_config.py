@@ -516,9 +516,19 @@ class BuildConfig:
                     'num_live': nj.get('num_live',
                                        str(25 * len(sample_params))),
                 }
+            elif self.sampler == 'HMC':
+                hm = fit_info.get('HMC', {})
+                config['HMC'] = {
+                    'path': str(self.sampler_out_path), 'name': run_name,
+                    'num_chains': hm.get('num_chains', '32'),
+                    'num_samples': hm.get('num_samples', '1000'),
+                    'num_warmup': hm.get('num_warmup', '500'),
+                    'num_leapfrog': hm.get('num_leapfrog', '16'),
+                }
             else:
                 raise ValueError(f'Sampler {self.sampler} is not supported. '
-                                 'Choose Polychord, PocoMC or NestedJax.')
+                                 'Choose Polychord, PocoMC, NestedJax or '
+                                 'HMC.')
 
         if 'monte_carlo' in fit_info:
             mc = fit_info['monte_carlo']

@@ -465,17 +465,12 @@ class MonteCarloEngine:
             padded[k] = jnp.asarray(arr)
 
         # Data-dependent payload pieces cannot serve a batch of per-mock
-        # data vectors: grid-collapse payloads bake the data in entirely
-        # (mock fits with sampled scale parameters run dense), and the
-        # plain collapse's pre-reduced (y, s) terms are stripped so the
-        # graph keeps the in-graph r = d - m0 form per mock.
-        collapsed = vega._device_collapsed(vega.get_collapsed(names))
-        if '__grid__' in collapsed:
-            collapsed = {}
-        else:
-            collapsed = {name: {k: v for k, v in tensors.items()
-                                if k not in ('y', 's')}
-                         for name, tensors in collapsed.items()}
+        # data vectors: with_data_terms=False skips both the pre-reduced
+        # (y, s) hoisting (the graph keeps the in-graph r = d - m0 form
+        # per mock) and grid-collapse payloads (which bake the data in
+        # entirely: mock fits with sampled scale parameters run dense).
+        collapsed = vega._device_collapsed(
+            vega.get_collapsed(names, with_data_terms=False))
 
         x, errors, cov, chi2, valid = _newton_minimize_batched(
             chi2_of, x0, lo, hi, padded, self.mesh, self.axis_name,

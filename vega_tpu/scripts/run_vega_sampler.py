@@ -70,6 +70,13 @@ def main(argv=None):
                                 sampling_params, batched.log_lik,
                                 vega.corr_num_marg_modes)
         sampler.run()
+
+    elif vega.sampler == 'HMC':
+        from vega_tpu.samplers.hmc import HMC
+
+        print('Running native exact-gradient HMC sampler')
+        sampler = HMC(vega.main_config['HMC'], sampling_params, batched)
+        sampler.run()
     else:
         raise ValueError(f'Unknown sampler {vega.sampler}')
 

@@ -192,9 +192,10 @@ class VegaInterface:
                 'run_sampler', False)
             self.sampler = self.main_config['control'].get('sampler', None)
             if self.run_sampler:
-                if self.sampler not in ['Polychord', 'PocoMC', 'NestedJax']:
+                if self.sampler not in ['Polychord', 'PocoMC', 'NestedJax',
+                                        'HMC']:
                     raise ValueError('Sampler not recognized. Use Polychord, '
-                                     'PocoMC or NestedJax.')
+                                     'PocoMC, NestedJax or HMC.')
                 if self.sampler not in self.main_config:
                     raise RuntimeError(
                         'run_sampler set, but no sampler config found')
@@ -505,13 +506,17 @@ class VegaInterface:
             return self._chi2_graph(sample_params, data_vecs, cov_scales,
                                     collapsed=collapsed)
 
-    def get_collapsed(self, sample_names):
+    def get_collapsed(self, sample_names, with_data_terms=True):
         """Device-resident basis-collapse tensors for one sampled-
         parameter set (cached; one jitted collapse run per set).
 
         The collapse pass costs one model-graph compile + execution, and
         removes all basis work from every subsequent chi^2 / gradient /
         Hessian / batched-likelihood graph for this parameter set.
+
+        ``with_data_terms=False`` skips the data-side (y, s) hoisting —
+        required by consumers that batch OVER data vectors (the
+        Monte-Carlo engine), where no single active data vector exists.
         """
         import os
         key = frozenset(sample_names)
@@ -520,6 +525,10 @@ class VegaInterface:
             return {}
         grid_names = self._grid_candidate_names(key)
         if grid_names:
+            if not with_data_terms:
+                # grid payloads bake the active data vector in entirely,
+                # so they cannot serve a batch of per-mock data vectors
+                return {}
             return self._get_grid_collapsed(key, grid_names)
         if not hasattr(self, '_collapsed_cache'):
             self._collapsed_cache = {}
@@ -560,6 +569,8 @@ class VegaInterface:
             # (_device_collapsed)
             self._collapsed_cache[key] = jax.tree.map(
                 lambda x: np.asarray(x), out)
+        if not with_data_terms:
+            return self._collapsed_cache[key]
         return self._with_collapse_data_terms(key,
                                               self._collapsed_cache[key])
 
