@@ -16,14 +16,16 @@ tracer pair, with warm value caches — runs at ~10 evals/sec on a modern
 core (BASELINE.md quotes no number; this is a measured-order estimate of
 the cached path, generous to the reference). vs_baseline = value / 10.
 
-Measured on the v5e (2026-08-17): f64 (parity grade, chi^2 agreement
-~1e-9 relative) 53714 evals/s/chip at batch 2048 via the factored
-linear-model path + collapsed quadratic form with hoisted data terms
-(vega_tpu/factored.py, VegaInterface._with_collapse_data_terms;
-docs/performance.md has the ablation: 282 dense, 769 factored-Kaiser,
-7786 pre-hoisting, 22046 with (ap, at) in the batch via the grid
-collapse). The default reported number is the accuracy-qualified f64
-one.
+Measured on the v5e (2026-08-17), f64 (parity grade, chi^2 agreement
+~1e-9 relative), batch 2048: 22046 evals/s/chip with (ap, at,
+bias_eta_LYA, beta_LYA) all in the batch — the BAO-sampling regime,
+served by the Chebyshev grid collapse (vega_tpu/gridcollapse.py) —
+and 53714 evals/s/chip in the nuisance-only regime via the collapsed
+quadratic form with hoisted data terms (vega_tpu/factored.py,
+VegaInterface._with_collapse_data_terms; docs/performance.md has the
+ablation: 282 dense, 769 factored-Kaiser, 7786 pre-hoisting). The
+default reported number is the BAO-regime one: accuracy-qualified f64
+with the scale parameters actually sampled.
 """
 
 import contextlib
@@ -65,11 +67,14 @@ def main():
             vega = VegaInterface(make_synthetic_dataset(workdir, cross=True))
             sampled = {'bias_LYA': -0.117, 'beta_LYA': 1.67}
 
-    # VEGA_TPU_BENCH_AP=1: add (alpha_par, alpha_perp) to the batch —
-    # the BAO-sampling regime, served by the grid collapse
+    # VEGA_TPU_BENCH_AP=1 (DEFAULT): add (alpha_par, alpha_perp) to the
+    # batch — the BAO-sampling regime, served by the grid collapse
     # (vega_tpu/gridcollapse.py; docs/performance.md for the measured
-    # chi^2 accuracy bound of that path)
-    bench_ap = os.environ.get('VEGA_TPU_BENCH_AP', '0') == '1'
+    # chi^2 accuracy bound of that path). This is the regime BAO
+    # science actually runs in, so it is the one the headline reports;
+    # VEGA_TPU_BENCH_AP=0 measures the nuisance-only collapsed regime
+    # (~2.4x faster still).
+    bench_ap = os.environ.get('VEGA_TPU_BENCH_AP', '1') == '1'
     if bench_ap:
         sampled = dict(sampled, ap=1.0, at=1.0)
         # The bench batch spans ap/at = 1 +/- ~4 sigma x 1% : a narrow
