@@ -64,6 +64,43 @@ def _reference_fit(vega, fit_spec, defaults):
             'nfev': int(res.nfev) + int(res2.nfev)}
 
 
+def _reference_scan(vega, scan_spec, defaults):
+    """Profile-likelihood scan of the live reference: at each grid value
+    of the scanned parameter, re-minimize every other sampled parameter
+    (reference Analysis.chi2_scan semantics, analysis.py:53-124) with
+    the same tightly-converged bounded scipy recipe as the fits."""
+    import numpy as np
+    from scipy.optimize import minimize
+
+    scanned = scan_spec['param']
+    names = list(scan_spec['minimize'])
+    bounds = [tuple(scan_spec['bounds'][n]) for n in names]
+    x0 = np.array([defaults[n] for n in names])
+
+    rows = []
+    for value in scan_spec['grid']:
+        def chi2_of(x):
+            params = dict(zip(names, (float(v) for v in x)))
+            params[scanned] = float(value)
+            return float(vega.chi2(params))
+
+        res = minimize(chi2_of, x0, method='L-BFGS-B', bounds=bounds,
+                       options={'ftol': 1e-15, 'gtol': 1e-11,
+                                'maxfun': 20000, 'maxls': 60})
+        res2 = minimize(chi2_of, res.x, method='L-BFGS-B', bounds=bounds,
+                        options={'ftol': 1e-15, 'gtol': 1e-12,
+                                 'maxfun': 20000, 'maxls': 80})
+        best = res2 if res2.fun <= res.fun else res
+        rows.append({scanned: float(value),
+                     'values': dict(zip(names,
+                                        (float(v) for v in best.x))),
+                     'fval': float(best.fun)})
+        x0 = best.x  # warm-start the neighbouring grid point
+        print(f'    scan {scanned}={value} -> fval {best.fun!r}',
+              flush=True)
+    return {'param': scanned, 'minimize': names, 'rows': rows}
+
+
 def main(out_path=None, only=None):
     sys.path.insert(0, str(REPO / 'tests' / 'refshims'))
     sys.path.insert(0, str(REFERENCE))
@@ -83,6 +120,8 @@ def main(out_path=None, only=None):
         if name not in goldens:
             return True
         if 'fit' in VARIANTS[name] and 'fit' not in goldens[name]:
+            return True
+        if 'scan' in VARIANTS[name] and 'scan' not in goldens[name]:
             return True
         return False
 
@@ -110,6 +149,12 @@ def main(out_path=None, only=None):
             goldens[name]['fit'] = _reference_fit(vega, fit_spec,
                                                   defaults)
             print(f'    fit -> {goldens[name]["fit"]}', flush=True)
+        scan_spec = VARIANTS[name].get('scan')
+        if scan_spec:
+            defaults = {n: float(vega.params[n])
+                        for n in scan_spec['minimize']}
+            goldens[name]['scan'] = _reference_scan(vega, scan_spec,
+                                                    defaults)
         del vega
         # incremental write: a crash in a later variant keeps progress
         out.parent.mkdir(parents=True, exist_ok=True)

@@ -114,12 +114,31 @@ VARIANTS = {
         'points': [{'phi': 1.03, 'alpha': 0.98, 'phi_smooth': 1.06,
                     'alpha_smooth': 0.95},
                    {'phi_smooth': 0.92, 'alpha_smooth': 1.04}],
+        # fit over the SMOOTH-component scaling (peak phi/alpha stay at
+        # the config values): exercises the peak/smooth routing of
+        # scale_parameters under the fit, not just at points
+        'fit': {'names': ['phi_smooth', 'alpha_smooth', 'bias_eta_LYA',
+                          'beta_LYA'],
+                'bounds': {'phi_smooth': (0.8, 1.2),
+                           'alpha_smooth': (0.8, 1.2),
+                           'bias_eta_LYA': (-2.0, 0.0),
+                           'beta_LYA': (0.0, 3.0)}},
+        'sample': {'phi_smooth': '0.8 1.2', 'alpha_smooth': '0.8 1.2'},
     },
     'fullshape_alpha': {
         'cosmo': {'full-shape': 'True', 'full-shape-alpha': 'True'},
         'params': {'ap_full': '1.0', 'at_full': '1.0'},
         'points': [{'ap_full': 1.04, 'at_full': 0.96},
                    {'ap_full': 0.95, 'at_full': 1.07, 'beta_LYA': 1.8}],
+        'fit': {'names': ['ap_full', 'at_full', 'bias_eta_LYA',
+                          'beta_LYA'],
+                'bounds': {'ap_full': (0.8, 1.2), 'at_full': (0.8, 1.2),
+                           'bias_eta_LYA': (-2.0, 0.0),
+                           'beta_LYA': (0.0, 3.0)}},
+        # full "min max start step" spec: ap_full/at_full have no
+        # default-registry entry in either framework
+        'sample': {'ap_full': '0.8 1.2 1.0 0.01',
+                   'at_full': '0.8 1.2 1.0 0.01'},
     },
     'growth_old_rel_asym': {
         'model': {'all': {'old_growth_func': 'True'},
@@ -190,6 +209,13 @@ VARIANTS = {
                         'bias_eta_SiII(1190)': -0.06,
                         'bias_eta_SiII(1193)': -0.05,
                         'bias_eta_CIV(eff)': -0.1}],
+        # BAO fit with the metal rescale ACTIVE: the (ap, at) minimum
+        # must match with the peak-metal terms rescaling too
+        'fit': {'names': ['ap', 'at', 'bias_eta_LYA', 'beta_LYA'],
+                'bounds': {'ap': (0.8, 1.2), 'at': (0.8, 1.2),
+                           'bias_eta_LYA': (-2.0, 0.0),
+                           'beta_LYA': (0.0, 3.0)}},
+        'sample': {'ap': '0.8 1.2', 'at': '0.8 1.2'},
         # the 15-25x boosted metal biases scale the metal-term FFTLog
         # floor with them: measured model-vector maxabs 1.4e-5
         # (vs 1.8e-6 base), delta-chi2 1.9e-5 — still 6x below the
@@ -212,6 +238,32 @@ VARIANTS = {
                     'alpha_smooth_LYAxQSO': 0.95},
                    {'phi_smooth': 0.97, 'alpha_smooth_LYAxLYA': 1.06,
                     'alpha_smooth_LYAxQSO': 0.93}],
+        'fit': {'names': ['alpha_smooth_LYAxLYA', 'alpha_smooth_LYAxQSO',
+                          'bias_eta_LYA', 'beta_LYA'],
+                'bounds': {'alpha_smooth_LYAxLYA': (0.8, 1.2),
+                           'alpha_smooth_LYAxQSO': (0.8, 1.2),
+                           'bias_eta_LYA': (-2.0, 0.0),
+                           'beta_LYA': (0.0, 3.0)}},
+        'sample': {'alpha_smooth_LYAxLYA': '0.8 1.2 1.0 0.01',
+                   'alpha_smooth_LYAxQSO': '0.8 1.2 1.0 0.01'},
+    },
+    'bao_scan': {
+        # No model toggles — the BASE config with (ap, at) sampled.
+        # Carries a 'scan' spec: a 1D profile-likelihood scan over ap
+        # (the reference's Analysis.chi2_scan semantics, reference
+        # analysis.py:53-124 — fix the scanned parameter, re-minimize
+        # every other sampled parameter) recorded from the live
+        # reference, certifying vega_tpu's L5 scan driver end to end.
+        'sample': {'ap': '0.8 1.2', 'at': '0.8 1.2'},
+        'points': [{'ap': 1.033, 'at': 1.002}],
+        'scan': {'param': 'ap',
+                 # == np.linspace(0.96, 1.08, 4): expressible as the
+                 # "start end n" grid of a [chi2 scan] config section
+                 'grid': [0.96, 1.0, 1.04, 1.08],
+                 'minimize': ['at', 'bias_eta_LYA', 'beta_LYA'],
+                 'bounds': {'at': (0.8, 1.2),
+                            'bias_eta_LYA': (-2.0, 0.0),
+                            'beta_LYA': (0.0, 3.0)}},
     },
     'pk_damping_nogk': {
         # hi-k damping exp(-(k/k0)^n / 2) (reference

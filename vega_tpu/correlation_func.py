@@ -208,10 +208,17 @@ class CorrelationFunction:
         rt = r * jnp.sqrt(1 - mu ** 2)
         rescaled_rp = ap * rp
         rescaled_rt = at * rt
-        rescaled_r = jnp.sqrt(rescaled_rp ** 2 + rescaled_rt ** 2)
-        safe = jnp.where(mask & (rescaled_r != 0), rescaled_r, 1.0)
-        rescaled_mu = jnp.where(mask, rescaled_rp / safe, 0.0)
-        return jnp.where(mask, rescaled_r, 0.0), rescaled_mu
+        # guard the sqrt ARGUMENT, not just the output: sqrt'(0) = inf,
+        # and where(mask, nan_grad_branch, 0) still propagates NaN
+        # through the backward pass (0 * inf). Metal grids contain
+        # r = 0 bins, so with metal-scaling this is a live path for
+        # d(chi2)/d(ap, at).
+        sq = rescaled_rp ** 2 + rescaled_rt ** 2
+        pos = mask & (sq > 0)
+        rescaled_r = jnp.sqrt(jnp.where(pos, sq, 1.0))
+        rescaled_mu = jnp.where(pos, rescaled_rp, 0.0) \
+            / jnp.where(pos, rescaled_r, 1.0)
+        return jnp.where(pos, rescaled_r, 0.0), rescaled_mu
 
     # ------------------------------------------------------------------
     # Bias z-evolution

@@ -352,11 +352,14 @@ class Metals:
             mask = r_grid != 0
             rp = r_grid * mu_grid + drp * mask
             rt = r_grid * jnp.sqrt(1 - mu_grid ** 2)
-            resc_r = jnp.sqrt(rp ** 2 + rt ** 2)
-            safe_r = jnp.where(mask & (resc_r != 0), resc_r, 1.0)
-            resc_mu = jnp.where(mask, rp / safe_r, 0.)
-            log_r = jnp.log(jnp.where(mask, jnp.maximum(resc_r, 1e-300),
-                                      1.0))
+            # sqrt argument guarded at r = 0 bins (sqrt'(0) = inf makes
+            # the backward pass NaN even under an output where-mask)
+            sq = rp ** 2 + rt ** 2
+            pos = mask & (sq > 0)
+            resc_r = jnp.sqrt(jnp.where(pos, sq, 1.0))
+            resc_mu = jnp.where(pos, rp, 0.) / jnp.where(pos, resc_r, 1.0)
+            log_r = jnp.log(jnp.where(pos, resc_r, 1.0))
+            resc_r = jnp.where(pos, resc_r, 0.0)
 
             from .ops.spline import spline_eval
             from .pktoxi import legendre
