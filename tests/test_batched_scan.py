@@ -41,6 +41,32 @@ def test_batched_scan_matches_serial(tmp_path):
                                    rtol=1e-3)
 
 
+def test_batched_scan_respects_bounds(tmp_path):
+    """A free parameter whose unconstrained profile optimum lies outside
+    its sampling bounds must pin at the bound AND the remaining free
+    parameters must still reach the constrained optimum. Plain clipping
+    of the full Newton step stalls at a suboptimal interior fixed point
+    ((H^-1 g)_free = 0 with g_free != 0); the projected active-set
+    system is the fix — oracle: the serial bounds-aware L-BFGS-B scan."""
+    vega, grid = _setup(tmp_path)
+    beta0 = float(vega.sample_params['values']['beta_LYA'])
+    # squeeze beta's upper bound below its optimum so the scan must pin
+    vega.sample_params['limits']['beta_LYA'] = (0.5 * beta0, 0.9 * beta0)
+
+    vega.main_config['chi2 scan'] = {
+        'bias_LYA': f'{grid[0]} {grid[-1]} {len(grid)}'}
+    vega.main_config['control']['batched_scan'] = 'False'
+    serial = vega.analysis.chi2_scan()
+
+    vega.main_config['control']['batched_scan'] = 'True'
+    batched = vega.analysis.chi2_scan()
+
+    for row_b, row_s in zip(batched, serial):
+        assert row_b['beta_LYA'] == pytest.approx(0.9 * beta0, rel=1e-9)
+        np.testing.assert_allclose(row_b['fval'], row_s['fval'],
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_batched_scan_2d(tmp_path):
     vega, grid = _setup(tmp_path)
     from vega_tpu.parallel import batched_chi2_scan

@@ -231,25 +231,42 @@ def _newton_minimize_batched(chi2_of, x0, lo, hi, batch_inputs, mesh,
     grad_fn = jax.grad(chi2_of)
     hess_fn = jax.hessian(chi2_of)
 
+    def _project_active(x, g):
+        """Active-set mask: coordinates pinned at a bound with the
+        gradient pushing outward. Plain clip() of the full Newton step
+        is NOT enough: its fixed points have (H^-1 g)_free = 0, which
+        can hold with g_free != 0 — the free coordinates stall at the
+        unconstrained direction's zero instead of the constrained
+        optimum. The projected (KKT-reduced) system below solves the
+        free subspace exactly."""
+        eps = 1e-12 + 1e-9 * jnp.abs(x)
+        active = (((x <= lo + eps) & (g > 0))
+                  | ((x >= hi - eps) & (g < 0)))
+        return active, jnp.where(active, 0.0, g)
+
     def newton_step(x, batch_elem, statics, co):
         g = grad_fn(x, batch_elem, statics, co)
         h = hess_fn(x, batch_elem, statics, co)
+        active, g_proj = _project_active(x, g)
+        free = ~active
+        h_proj = (jnp.where(free[:, None] & free[None, :], h, 0.0)
+                  + jnp.diag(jnp.where(active, 1.0, 0.0)))
         # Adaptive Levenberg damping: an indefinite Hessian (flat or
         # noise-dominated likelihood, early iterations far from the
         # minimum) makes the plain Cholesky solve NaN. Solve at a ladder
         # of damping strengths and keep the least-damped finite step;
         # the strongest level approximates scaled gradient descent.
         # (max(n_free, 1) keeps the all-params-scanned case finite.)
-        tr = jnp.abs(jnp.trace(h)) / max(n_free, 1) + 1e-12
+        tr = jnp.abs(jnp.trace(h_proj)) / max(n_free, 1) + 1e-12
         eye = jnp.eye(n_free)
-        steps = [_spd_solve(h + lam * eye, g)
+        steps = [_spd_solve(h_proj + lam * eye, g_proj)
                  for lam in (1e-6 * tr, 1e-2 * tr, tr, 1e2 * tr)]
         step = jnp.zeros_like(g)    # last resort: stay put
         for s in steps[::-1]:
             s_ok = jnp.all(jnp.isfinite(s))
             step = jnp.where(s_ok, s, step)
         x_new = jnp.clip(x - step, lo, hi)
-        return x_new, g, h
+        return x_new, g_proj, h
 
     def fit_one(batch_elem, statics, co):
         # while_loop instead of a fixed-length scan: Newton converges in
