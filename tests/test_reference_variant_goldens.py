@@ -92,6 +92,64 @@ def test_variant_parity_with_live_reference(variant, goldens, tmp_path,
         os.chdir(cwd)
 
 
+SCAN_VARIANTS = sorted(v for v in VARIANTS if 'scan' in VARIANTS[v])
+
+
+@pytest.mark.parametrize('variant', SCAN_VARIANTS)
+def test_variant_scan_parity_with_live_reference(variant, goldens,
+                                                 tmp_path, monkeypatch):
+    """Profile-likelihood scan parity: the live reference's
+    Analysis.chi2_scan semantics (fix the scanned parameter, re-minimize
+    every other sampled parameter; reference analysis.py:53-124) against
+    vega_tpu's scan driver on the same grid — chi2-function agreement at
+    the reference's per-point minima, and our (batched, default) scan
+    reaching the same profile values with the same re-minimized
+    parameters."""
+    scan = goldens.get(variant, {}).get('scan')
+    if scan is None:
+        pytest.skip(f'no scan golden for {variant} yet — regenerate with '
+                    'tests/tools/make_reference_variant_goldens.py')
+    monkeypatch.setenv('VEGA_TPU_GRID_COLLAPSE', '0')
+    main_ini = build_variant(variant, tmp_path)
+    spec = VARIANTS[variant]['scan']
+    param, grid = spec['param'], spec['grid']
+
+    from vega_tpu.vega_interface import VegaInterface
+    cwd = os.getcwd()
+    os.chdir(REF / 'tests')
+    try:
+        vega = VegaInterface(str(main_ini))
+        # chi2-FUNCTION parity at every per-point reference minimum
+        # (floor: see test_variant_parity_with_live_reference)
+        for row in scan['rows']:
+            point = dict(row['values'])
+            point[param] = row[param]
+            assert vega.chi2(point) == pytest.approx(
+                row['fval'], rel=1e-6, abs=2e-6), \
+                f'{variant}: chi2 mismatch at {param}={row[param]}'
+
+        # our own scan driver over the same grid
+        vega.main_config['chi2 scan'] = {
+            param: f'{grid[0]} {grid[-1]} {len(grid)}'}
+        ours = vega.analysis.chi2_scan()
+        assert len(ours) == len(scan['rows'])
+        for mine, ref in zip(ours, scan['rows']):
+            assert mine[param] == pytest.approx(ref[param], abs=1e-12)
+            # at least as low as the reference's tightly-converged
+            # profile point (up to our scan's convergence floor), and
+            # in the same basin (not spuriously lower)
+            assert mine['fval'] <= ref['fval'] + 2e-5, \
+                f'{variant}: profile above reference at {param}={ref[param]}'
+            assert mine['fval'] >= ref['fval'] - 2.5e-4
+            for name in scan['minimize']:
+                assert mine[name] == pytest.approx(ref['values'][name],
+                                                   abs=5e-3), \
+                    f'{variant}: scan param mismatch for {name} ' \
+                    f'at {param}={ref[param]}'
+    finally:
+        os.chdir(cwd)
+
+
 FIT_VARIANTS = sorted(v for v in VARIANTS if 'fit' in VARIANTS[v])
 
 
