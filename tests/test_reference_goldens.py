@@ -109,6 +109,42 @@ def test_nuisance_bestfit_parity_with_live_reference(goldens, vega,
     assert vega.bestfit.fmin.fval <= fit['fval'] + 1e-6
 
 
+def test_monte_carlo_mock_parity_with_live_reference(goldens, vega,
+                                                     monkeypatch):
+    """The rewritten Data.create_monte_carlo reproduces the live
+    reference's mocks: both sides use the np.random.seed convention, so
+    the Cholesky noise is bit-identical and the residual is only the
+    model-vector floor (~2e-6 per bin). Covers the seeded mock AND the
+    noiseless forecast mode (reference data.py:689-760)."""
+    mc = goldens.get('mc_mocks')
+    if mc is None:
+        pytest.skip('no mc_mocks golden yet — regenerate with '
+                    'tests/tools/make_reference_goldens.py')
+    monkeypatch.setenv('VEGA_TPU_GRID_COLLAPSE', '0')
+    fiducial = vega.compute_model(run_init=False)
+    for name, ref in mc['correlations'].items():
+        data = vega.data[name]
+        data.create_monte_carlo(fiducial[name], seed=mc['seed'])
+        masked = np.array(data.masked_mc_mock)
+        assert masked.size == ref['n_masked']
+        np.testing.assert_allclose(masked[:8], ref['mock_head'],
+                                   rtol=0, atol=1e-5,
+                                   err_msg=f'{name}: seeded mock head')
+        assert np.sum(masked) == pytest.approx(ref['masked_sum'],
+                                               abs=2e-2)
+        assert np.std(masked) == pytest.approx(ref['masked_std'],
+                                               abs=1e-5)
+
+        fore = data.create_monte_carlo(fiducial[name], seed=mc['seed'],
+                                       forecast=True)
+        fore_masked = fore[data.data_mask]
+        np.testing.assert_allclose(fore_masked[:8], ref['forecast_head'],
+                                   rtol=0, atol=1e-5,
+                                   err_msg=f'{name}: forecast head')
+        assert np.sum(fore_masked) == pytest.approx(
+            ref['forecast_masked_sum'], abs=2e-2)
+
+
 def test_mcfit_shim_matches_scipy_fht():
     """The shim's FFTLog (unpadded) against scipy's independent
     implementation, pinning the shared-convention surface."""

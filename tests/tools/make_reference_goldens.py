@@ -55,13 +55,18 @@ def main(out_path=None):
 
     vega = VegaInterface('full_configs/main.ini')
 
-    goldens = {'points': []}
-    for point in POINTS:
-        goldens['points'].append({
-            'params': point,
-            'chi2': float(vega.chi2(point)),
-            'log_lik': float(vega.log_lik(point)),
-        })
+    out = Path(out_path) if out_path else (
+        REPO / 'tests' / 'data' / 'reference_goldens.json')
+    goldens = json.loads(out.read_text()) if out.exists() else {}
+
+    if 'points' not in goldens:
+        goldens['points'] = []
+        for point in POINTS:
+            goldens['points'].append({
+                'params': point,
+                'chi2': float(vega.chi2(point)),
+                'log_lik': float(vega.log_lik(point)),
+            })
 
     # Tightly-converged best fits via BOUNDED scipy minimization of the
     # reference's chi2 (no unbounded polish: this fixture's posterior is
@@ -94,11 +99,36 @@ def main(out_path=None):
                 'fval': float(best.fun),
                 'nfev': int(res.nfev) + int(res2.nfev)}
 
-    goldens['nuisance_fit'] = fit(['bias_eta_LYA', 'beta_LYA'])
-    goldens['bao_fit'] = fit(FIT_NAMES)
+    if 'nuisance_fit' not in goldens:
+        goldens['nuisance_fit'] = fit(['bias_eta_LYA', 'beta_LYA'])
+    if 'bao_fit' not in goldens:
+        goldens['bao_fit'] = fit(FIT_NAMES)
 
-    out = Path(out_path) if out_path else (
-        REPO / 'tests' / 'data' / 'reference_goldens.json')
+    if 'mc_mocks' not in goldens:
+        # Monte-Carlo mock fingerprint: same np.random.seed convention
+        # on both sides -> the Cholesky noise is bit-identical, so
+        # vega_tpu's rewritten Data.create_monte_carlo must reproduce
+        # these vectors to the model-vector floor (~2e-6). Records the
+        # seeded mock AND the noiseless forecast mock per correlation.
+        # (reference anchors: data.py:689-760, analysis.py:126-162)
+        fiducial = vega.compute_model(run_init=False)
+        mc = {}
+        for name, data in vega.data.items():
+            data.create_monte_carlo(fiducial[name], seed=123)
+            masked = np.array(data.masked_mc_mock)
+            fore = data.create_monte_carlo(fiducial[name], seed=123,
+                                           forecast=True)
+            fore_masked = fore[data.data_mask]
+            mc[name] = {
+                'mock_head': [float(v) for v in masked[:8]],
+                'masked_sum': float(np.sum(masked)),
+                'masked_std': float(np.std(masked)),
+                'n_masked': int(masked.size),
+                'forecast_head': [float(v) for v in fore_masked[:8]],
+                'forecast_masked_sum': float(np.sum(fore_masked)),
+            }
+        goldens['mc_mocks'] = {'seed': 123, 'correlations': mc}
+
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(goldens, indent=1))
     print(f'wrote {out}')
