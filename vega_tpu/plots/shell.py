@@ -71,7 +71,7 @@ class Shell:
                                  num_bins_angle + 1)
         self.angle = bin_centers(angle_bins)
         if angle_var == 'theta':
-            self.angle = self.angle * 180 / np.pi
+            self.angle = self.angle * (180 / np.pi)
 
     def __call__(self, data, covariance=None):
         """(reference: plots/shell.py:112-146)"""
