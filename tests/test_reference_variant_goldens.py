@@ -112,7 +112,12 @@ def test_variant_scan_parity_with_live_reference(variant, goldens,
     monkeypatch.setenv('VEGA_TPU_GRID_COLLAPSE', '0')
     main_ini = build_variant(variant, tmp_path)
     spec = VARIANTS[variant]['scan']
-    param, grid = spec['param'], spec['grid']
+    if 'param' in spec:          # legacy 1D golden format
+        scanned = [spec['param']]
+        grids = {spec['param']: spec['grid']}
+    else:
+        scanned = list(spec['params'])
+        grids = spec['grids']
 
     from vega_tpu.vega_interface import VegaInterface
     cwd = os.getcwd()
@@ -123,29 +128,31 @@ def test_variant_scan_parity_with_live_reference(variant, goldens,
         # (floor: see test_variant_parity_with_live_reference)
         for row in scan['rows']:
             point = dict(row['values'])
-            point[param] = row[param]
+            point.update({p: row[p] for p in scanned})
             assert vega.chi2(point) == pytest.approx(
                 row['fval'], rel=1e-6, abs=2e-6), \
-                f'{variant}: chi2 mismatch at {param}={row[param]}'
+                f'{variant}: chi2 mismatch at {point}'
 
-        # our own scan driver over the same grid
+        # our own scan driver over the same grid (C order both sides)
         vega.main_config['chi2 scan'] = {
-            param: f'{grid[0]} {grid[-1]} {len(grid)}'}
+            p: f'{grids[p][0]} {grids[p][-1]} {len(grids[p])}'
+            for p in scanned}
         ours = vega.analysis.chi2_scan()
         assert len(ours) == len(scan['rows'])
         for mine, ref in zip(ours, scan['rows']):
-            assert mine[param] == pytest.approx(ref[param], abs=1e-12)
+            fixed = {p: ref[p] for p in scanned}
+            for p in scanned:
+                assert mine[p] == pytest.approx(ref[p], abs=1e-12)
             # at least as low as the reference's tightly-converged
             # profile point (up to our scan's convergence floor), and
             # in the same basin (not spuriously lower)
             assert mine['fval'] <= ref['fval'] + 2e-5, \
-                f'{variant}: profile above reference at {param}={ref[param]}'
+                f'{variant}: profile above reference at {fixed}'
             assert mine['fval'] >= ref['fval'] - 2.5e-4
             for name in scan['minimize']:
                 assert mine[name] == pytest.approx(ref['values'][name],
                                                    abs=5e-3), \
-                    f'{variant}: scan param mismatch for {name} ' \
-                    f'at {param}={ref[param]}'
+                    f'{variant}: scan param mismatch for {name} at {fixed}'
     finally:
         os.chdir(cwd)
 

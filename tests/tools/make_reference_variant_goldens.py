@@ -65,23 +65,35 @@ def _reference_fit(vega, fit_spec, defaults):
 
 
 def _reference_scan(vega, scan_spec, defaults):
-    """Profile-likelihood scan of the live reference: at each grid value
-    of the scanned parameter, re-minimize every other sampled parameter
-    (reference Analysis.chi2_scan semantics, analysis.py:53-124) with
-    the same tightly-converged bounded scipy recipe as the fits."""
+    """Profile-likelihood scan of the live reference: at each grid point
+    of the scanned parameter(s), re-minimize every other sampled
+    parameter (reference Analysis.chi2_scan semantics,
+    analysis.py:53-124) with the same tightly-converged bounded scipy
+    recipe as the fits. 1D ({'param', 'grid'}) or 2D
+    ({'params', 'grids'}, C order: first param = outer loop, matching
+    the reference's itertools.product)."""
+    import itertools
+
     import numpy as np
     from scipy.optimize import minimize
 
-    scanned = scan_spec['param']
+    if 'param' in scan_spec:
+        scanned = [scan_spec['param']]
+        grids = [scan_spec['grid']]
+    else:
+        scanned = list(scan_spec['params'])
+        grids = [scan_spec['grids'][n] for n in scanned]
     names = list(scan_spec['minimize'])
     bounds = [tuple(scan_spec['bounds'][n]) for n in names]
     x0 = np.array([defaults[n] for n in names])
 
     rows = []
-    for value in scan_spec['grid']:
+    for point in itertools.product(*grids):
+        fixed = dict(zip(scanned, (float(v) for v in point)))
+
         def chi2_of(x):
             params = dict(zip(names, (float(v) for v in x)))
-            params[scanned] = float(value)
+            params.update(fixed)
             return float(vega.chi2(params))
 
         res = minimize(chi2_of, x0, method='L-BFGS-B', bounds=bounds,
@@ -91,14 +103,13 @@ def _reference_scan(vega, scan_spec, defaults):
                         options={'ftol': 1e-15, 'gtol': 1e-12,
                                  'maxfun': 20000, 'maxls': 80})
         best = res2 if res2.fun <= res.fun else res
-        rows.append({scanned: float(value),
+        rows.append({**fixed,
                      'values': dict(zip(names,
                                         (float(v) for v in best.x))),
                      'fval': float(best.fun)})
         x0 = best.x  # warm-start the neighbouring grid point
-        print(f'    scan {scanned}={value} -> fval {best.fun!r}',
-              flush=True)
-    return {'param': scanned, 'minimize': names, 'rows': rows}
+        print(f'    scan {fixed} -> fval {best.fun!r}', flush=True)
+    return {'scanned': scanned, 'minimize': names, 'rows': rows}
 
 
 def main(out_path=None, only=None):

@@ -265,6 +265,20 @@ VARIANTS = {
                             'bias_eta_LYA': (-2.0, 0.0),
                             'beta_LYA': (0.0, 3.0)}},
     },
+    'bao_scan2d': {
+        # 2D (ap, at) profile grid — the BAO-paper confidence-contour
+        # deliverable — re-minimizing (bias_eta, beta) at each of the
+        # 3x3 points, in the reference's C order (itertools.product:
+        # first param = outer loop, reference analysis.py:96-101).
+        'sample': {'ap': '0.8 1.2', 'at': '0.8 1.2'},
+        'points': [{'ap': 1.033, 'at': 1.002, 'bias_eta_LYA': -0.2054}],
+        'scan': {'params': ['ap', 'at'],
+                 'grids': {'ap': [0.97, 1.02, 1.07],
+                           'at': [0.95, 1.0, 1.05]},
+                 'minimize': ['bias_eta_LYA', 'beta_LYA'],
+                 'bounds': {'bias_eta_LYA': (-2.0, 0.0),
+                            'beta_LYA': (0.0, 3.0)}},
+    },
     'pk_damping_nogk': {
         # hi-k damping exp(-(k/k0)^n / 2) (reference
         # power_spectrum.py:50-51, 190-196) with the G(k) binning window
