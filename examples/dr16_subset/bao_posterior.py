@@ -46,9 +46,10 @@ def _sampler_sections(config, workdir, args):
     config['control']['sampler'] = 'Polychord'
     config['Polychord'] = {
         'path': str(workdir),
-        'name': 'bao_posterior',
+        'name': f'bao_posterior_{args.dataset}',
         'num_live': str(args.num_live),
         'precision': str(args.precision),
+        'resume': 'False',   # never pick up a stale checkpoint
         'seed': '0',
     }
     if args.batch_size:
@@ -118,7 +119,10 @@ def main(argv=None):
     import numpy as np
 
     from vega_tpu.parallel import BatchedLikelihood, make_device_mesh
-    from vega_tpu.samplers.polychord import Polychord
+    # the native batched sampler, explicitly: BatchedLikelihood.log_lik
+    # takes parameter BATCHES, which the external pypolychord wrapper
+    # (per-point callback) cannot drive
+    from vega_tpu.samplers.nested import NestedSampler
     from vega_tpu.vega_interface import VegaInterface
 
     t0 = time.time()
@@ -144,9 +148,10 @@ def main(argv=None):
         t_compile = time.time() - t1
 
         t2 = time.time()
-        sampler = Polychord(vega.main_config['Polychord'],
-                            vega.sample_params['limits'], batched.log_lik,
-                            vega.corr_num_marg_modes)
+        sampler = NestedSampler(vega.main_config['Polychord'],
+                                vega.sample_params['limits'],
+                                batched.log_lik,
+                                vega.corr_num_marg_modes)
         results = sampler.run()
         t_sample = time.time() - t2
     finally:

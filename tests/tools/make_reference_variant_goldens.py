@@ -143,29 +143,34 @@ def main(out_path=None, only=None):
         main_ini = build_variant(name, workdir)
         print(f'--- {name}: {main_ini}', flush=True)
         vega = VegaInterface(str(main_ini))
-        points = []
-        for point in VARIANTS[name]['points']:
-            points.append({
-                'params': point,
-                'chi2': float(vega.chi2(point)),
-                'log_lik': float(vega.log_lik(point)),
-            })
-            print(f'    {point} -> chi2 {points[-1]["chi2"]!r}',
-                  flush=True)
-        goldens[name] = {'points': points}
+        # merge into any existing entry: only MISSING sections are
+        # recomputed, so adding e.g. a scan spec to an already-fitted
+        # variant does not churn its committed points/fit values at the
+        # optimizer-convergence floor (delete the entry to force a full
+        # regeneration)
+        entry = goldens.setdefault(name, {})
+        if 'points' not in entry:
+            points = []
+            for point in VARIANTS[name]['points']:
+                points.append({
+                    'params': point,
+                    'chi2': float(vega.chi2(point)),
+                    'log_lik': float(vega.log_lik(point)),
+                })
+                print(f'    {point} -> chi2 {points[-1]["chi2"]!r}',
+                      flush=True)
+            entry['points'] = points
         fit_spec = VARIANTS[name].get('fit')
-        if fit_spec:
+        if fit_spec and 'fit' not in entry:
             defaults = {n: float(vega.params[n])
                         for n in fit_spec['names']}
-            goldens[name]['fit'] = _reference_fit(vega, fit_spec,
-                                                  defaults)
-            print(f'    fit -> {goldens[name]["fit"]}', flush=True)
+            entry['fit'] = _reference_fit(vega, fit_spec, defaults)
+            print(f'    fit -> {entry["fit"]}', flush=True)
         scan_spec = VARIANTS[name].get('scan')
-        if scan_spec:
+        if scan_spec and 'scan' not in entry:
             defaults = {n: float(vega.params[n])
                         for n in scan_spec['minimize']}
-            goldens[name]['scan'] = _reference_scan(vega, scan_spec,
-                                                    defaults)
+            entry['scan'] = _reference_scan(vega, scan_spec, defaults)
         del vega
         # incremental write: a crash in a later variant keeps progress
         out.parent.mkdir(parents=True, exist_ok=True)

@@ -359,7 +359,6 @@ class Metals:
             resc_r = jnp.sqrt(jnp.where(pos, sq, 1.0))
             resc_mu = jnp.where(pos, rp, 0.) / jnp.where(pos, resc_r, 1.0)
             log_r = jnp.log(jnp.where(pos, resc_r, 1.0))
-            resc_r = jnp.where(pos, resc_r, 0.0)
 
             from .ops.spline import spline_eval
             from .pktoxi import legendre
