@@ -43,7 +43,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 def _sampler_sections(config, workdir, args):
     config['control']['run_sampler'] = 'True'
-    config['control']['sampler'] = 'Polychord'
+    config['control']['sampler'] = ('HMC' if args.sampler == 'hmc'
+                                    else 'Polychord')
     config['Polychord'] = {
         'path': str(workdir),
         'name': f'bao_posterior_{args.dataset}',
@@ -54,6 +55,14 @@ def _sampler_sections(config, workdir, args):
     }
     if args.batch_size:
         config['Polychord']['batch_size'] = str(args.batch_size)
+    config['HMC'] = {
+        'path': str(workdir),
+        'name': f'bao_posterior_hmc_{args.dataset}',
+        'num_chains': '32',
+        'num_samples': '600',
+        'num_warmup': '400',
+        'seed': '0',
+    }
 
 
 def _read_ini(path):
@@ -99,6 +108,10 @@ def main(argv=None):
     pars = argparse.ArgumentParser(description=__doc__.split('\n')[0])
     pars.add_argument('--dataset', choices=('synthetic', 'dr16'),
                       default='synthetic')
+    pars.add_argument('--sampler', choices=('ns', 'hmc'), default='ns',
+                      help='ns: native nested sampling (posterior + '
+                           'evidence); hmc: native exact-gradient HMC '
+                           '(posterior only)')
     # 512 live points with the default batch_size (num_live // 4 = 128)
     # keeps every likelihood call at the one compiled chunk width (128)
     pars.add_argument('--num-live', type=int, default=512)
@@ -148,27 +161,42 @@ def main(argv=None):
         t_compile = time.time() - t1
 
         t2 = time.time()
-        sampler = NestedSampler(vega.main_config['Polychord'],
-                                vega.sample_params['limits'],
-                                batched.log_lik,
-                                vega.corr_num_marg_modes)
+        if args.sampler == 'hmc':
+            from vega_tpu.samplers.hmc import HMC
+            sampler = HMC(vega.main_config['HMC'],
+                          vega.sample_params['limits'], batched)
+        else:
+            sampler = NestedSampler(vega.main_config['Polychord'],
+                                    vega.sample_params['limits'],
+                                    batched.log_lik,
+                                    vega.corr_num_marg_modes)
         results = sampler.run()
         t_sample = time.time() - t2
     finally:
         os.chdir(cwd)
 
     names = list(vega.sample_params['limits'].keys())
-    w = results['weights']
+    w = results.get('weights')
+    if w is None:
+        w = np.ones(len(results['samples']))
     mean = np.average(results['samples'], weights=w, axis=0)
     std = np.sqrt(np.average((results['samples'] - mean) ** 2,
                              weights=w, axis=0))
-    n_evals = getattr(sampler, '_n_evals', 0)
-    print(f'\n=== BAO posterior ({args.dataset}, '
+    print(f'\n=== BAO posterior ({args.dataset}, {args.sampler}, '
           f'{len(names)} sampled params) ===')
-    print(f'init {t_init:.1f} s | compile {t_compile:.1f} s | '
-          f'sampling {t_sample:.1f} s ({n_evals} likelihood evals) | '
-          f'total {time.time() - t0:.1f} s')
-    print(f'logZ = {results["logz"]:.4f} +/- {results["logz_err"]:.4f}')
+    if args.sampler == 'hmc':
+        ess = float(np.min(results['ess']))
+        print(f'init {t_init:.1f} s | compile {t_compile:.1f} s | '
+              f'warmup+sampling {t_sample:.1f} s '
+              f'(min ESS {ess:.0f} -> {ess / t_sample:.0f} ESS/s) | '
+              f'total {time.time() - t0:.1f} s')
+    else:
+        n_evals = getattr(sampler, '_n_evals', 0)
+        print(f'init {t_init:.1f} s | compile {t_compile:.1f} s | '
+              f'sampling {t_sample:.1f} s ({n_evals} likelihood evals) | '
+              f'total {time.time() - t0:.1f} s')
+        print(f'logZ = {results["logz"]:.4f} '
+              f'+/- {results["logz_err"]:.4f}')
     for i, name in enumerate(names):
         print(f'{name:>16s} = {mean[i]:+.5f} +/- {std[i]:.5f}')
     return results
