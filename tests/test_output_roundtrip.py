@@ -76,3 +76,36 @@ def test_scan_hdu(fitted_vega, tmp_path):
     fvals = np.asarray(hdus['SCAN']['fval'])
     assert fvals.shape == (3,)
     assert np.isfinite(fvals).all()
+
+
+def test_legacy_single_hdu_model_format():
+    """The legacy single-HDU 'MODEL' output (9 flat columns per
+    correlation) dispatches to old_read_correlations
+    (reference: fit_results.py:99-101, 144-175)."""
+    from vega_tpu.io.fits import Header, TableHDU
+    from vega_tpu.postprocess.fit_results import FitResults
+
+    rng = np.random.default_rng(5)
+    columns = {}
+    n = 20
+    for corr in ('lyaxlya', 'qsoxlya'):
+        columns[corr + '_MODEL'] = rng.normal(size=n)
+        columns[corr + '_MODEL_MASK'] = np.ones(n, dtype=bool)
+        columns[corr + '_DATA'] = rng.normal(size=n)
+        columns[corr + '_MASK'] = np.arange(n) % 2 == 0
+        columns[corr + '_VAR'] = np.ones(n)
+        columns[corr + '_RP'] = np.linspace(0, 200, n)
+        columns[corr + '_RT'] = np.linspace(0, 200, n)
+        columns[corr + '_Z'] = np.full(n, 2.3)
+        columns[corr + '_CHI2'] = np.array([1.0])
+    hdu = TableHDU(Header(), columns, name="MODEL")
+
+    results = FitResults.__new__(FitResults)
+    results.num_pars = 2
+    results.marg_coeff = {}
+    results.read_correlations([hdu])
+    assert set(results.correlations) == {'lyaxlya', 'qsoxlya'}
+    assert results.num_data_points == 20
+    out = results.correlations['qsoxlya']
+    np.testing.assert_array_equal(out.data, columns['qsoxlya_DATA'])
+    assert out.chisq is None

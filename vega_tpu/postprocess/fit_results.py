@@ -98,6 +98,10 @@ class FitResults:
                       if getattr(h, 'name', '').startswith('MODEL')]
         if len(model_hdus) == 0:
             raise ValueError('No model HDUs found in the fit results file.')
+        if model_hdus[0].name == 'MODEL':
+            # legacy single-HDU format (reference: fit_results.py:99-101)
+            self.old_read_correlations(model_hdus[0])
+            return
 
         self.correlations = {}
         self.num_data_points = 0
@@ -138,3 +142,26 @@ class FitResults:
             self.chisq, self.num_data_points - self.num_pars)
         self.reduced_chisq = self.chisq / (
             self.num_data_points - self.num_pars)
+
+    def old_read_correlations(self, hdu):
+        """Legacy single-HDU 'MODEL' format: 9 flat columns per
+        correlation (reference: fit_results.py:144-175)."""
+        names = list(hdu.columns.keys())
+        if len(names) % 9 != 0:
+            raise ValueError('Vega output format has changed. '
+                             'Please update fit reader.')
+
+        self.correlations = {}
+        self.num_data_points = 0
+        for i in range(len(names) // 9):
+            model_name = names[i * 9]
+            assert model_name[-6:] == '_MODEL'
+            corr_name = model_name[:-6]
+
+            data_mask = hdu[corr_name + '_MASK']
+            self.num_data_points += int(np.sum(data_mask))
+            self.correlations[corr_name] = CorrelationOutput(
+                hdu[model_name], hdu[corr_name + '_MODEL_MASK'],
+                hdu[corr_name + '_DATA'], data_mask,
+                hdu[corr_name + '_VAR'], hdu[corr_name + '_RP'],
+                hdu[corr_name + '_RT'], hdu[corr_name + '_Z'])

@@ -1312,6 +1312,18 @@ class VegaInterface:
         return mocks
 
     # ------------------------------------------------------------------
+    def set_fast_metals(self):
+        """Activate fast metals on every model (drop-in surface for the
+        reference's method, vega_interface.py:657-664). Under jit the
+        metal pipeline is already fully factored, so this only toggles
+        the flag the reference's workflow scripts expect to flip."""
+        print('Warning! Activating fast metals for minimizing/sampling.')
+        for name in self.corr_items:
+            metals = getattr(self.models[name], 'metals', None)
+            if metals is not None:
+                metals.fast_metals = True
+
+    # ------------------------------------------------------------------
     def minimize(self):
         """Minimize chi^2 over the sampled parameters
         (reference: vega_interface.py:581-644)."""
