@@ -43,9 +43,15 @@ def main():
     precision = os.environ.get('VEGA_TPU_BENCH_PRECISION', 'f64')
     if precision == 'f32':
         os.environ['VEGA_TPU_X64'] = '0'
+    # VEGA_TPU_BENCH_SMOKE=1: CPU backend, tiny synthetic dataset, small
+    # batch — a fast wiring check of this script (used by the test
+    # suite; the reported number is NOT a hardware benchmark)
+    smoke = os.environ.get('VEGA_TPU_BENCH_SMOKE', '0') == '1'
     import jax
     if precision == 'f32':
         jax.config.update('jax_enable_x64', False)
+    if smoke:
+        jax.config.update('jax_platforms', 'cpu')
 
     import numpy as np
 
@@ -56,7 +62,7 @@ def main():
     # Init-time INFO prints go to stderr so stdout carries only the JSON.
     with contextlib.redirect_stdout(sys.stderr):
         ref_config = '/root/reference/tests/full_configs/main.ini'
-        if os.path.isdir('/root/reference/tests'):
+        if os.path.isdir('/root/reference/tests') and not smoke:
             os.chdir('/root/reference/tests')
             vega = VegaInterface(ref_config)
             sampled = {'bias_eta_LYA': -0.2008, 'beta_LYA': 1.67}
@@ -64,7 +70,8 @@ def main():
             import tempfile
             from vega_tpu.testing import make_synthetic_dataset
             workdir = tempfile.mkdtemp(prefix='vega_tpu_bench_')
-            vega = VegaInterface(make_synthetic_dataset(workdir, cross=True))
+            vega = VegaInterface(make_synthetic_dataset(
+                workdir, cross=True, size='tiny' if smoke else 'full'))
             sampled = {'bias_LYA': -0.117, 'beta_LYA': 1.67}
 
     # VEGA_TPU_BENCH_AP=1 (DEFAULT): add (alpha_par, alpha_perp) to the
@@ -89,7 +96,8 @@ def main():
     mesh = make_device_mesh()
     bl = BatchedLikelihood(vega, mesh=mesh)
 
-    batch_size = int(os.environ.get('VEGA_TPU_BENCH_BATCH', 2048)) * n_devices
+    batch_size = int(os.environ.get(
+        'VEGA_TPU_BENCH_BATCH', 64 if smoke else 2048)) * n_devices
     rng = np.random.default_rng(0)
     batches = {
         name: val + 0.01 * np.abs(val) * rng.normal(size=batch_size)
@@ -103,7 +111,7 @@ def main():
     assert np.all(np.isfinite(chi2)), 'non-finite chi2 in benchmark'
 
     # Timed runs
-    n_rounds = 5
+    n_rounds = 2 if smoke else 5
     t0 = time.time()
     for i in range(n_rounds):
         for name in batches:
