@@ -82,6 +82,21 @@ def test_vega_plots_panels(tmp_path):
     fig = vega.plots.plot_4shells(model=model[name], corr_name=name)
     assert len(fig.axes) == 4
 
+    from vega_tpu.plots.utils import plot_shells
+    fig = plot_shells(vega, model, corr=name)
+    assert len(fig.axes) == 4
+    # every panel drew data/model series with finite values
+    ydatas = [ln.get_ydata() for ax in fig.axes for ln in ax.lines
+              if len(ln.get_ydata()) > 2]
+    assert ydatas and all(np.all(np.isfinite(y)) for y in ydatas)
+
+
+def test_get_bin_centers_staticmethods():
+    limits = np.array([0., 2., 4., 8.])
+    expected = np.array([1., 3., 6.])
+    np.testing.assert_allclose(Wedge.get_bin_centers(limits), expected)
+    np.testing.assert_allclose(Shell.get_bin_centers(limits), expected)
+
 
 @pytest.mark.slow
 def test_sensitivity_plot(tmp_path):

@@ -11,6 +11,8 @@ class Shell:
     """Compress a 2D correlation into angular shells at fixed r
     (reference: plots/shell.py:4-110)."""
 
+    get_bin_centers = staticmethod(bin_centers)
+
     def __init__(self, rp=(0, 200, 50), rt=(0, 200, 50), angle_var='theta',
                  angle_range=(0, np.pi / 2), num_bins_fraction=50,
                  r=(30, 45), scaling=10, abs_mu=False):

@@ -18,6 +18,8 @@ def bin_centers(bin_limits):
 class Wedge:
     """Wedge weight matrix (reference: plots/wedges.py:4-80)."""
 
+    get_bin_centers = staticmethod(bin_centers)
+
     def __init__(self, rp=(0., 200., 50), rt=(0., 200., 50),
                  r=(0., 200., 50), mu=(0.95, 1.0), scaling=10, abs_mu=False):
         rp_centers = bin_centers(
