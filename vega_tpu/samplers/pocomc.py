@@ -79,3 +79,6 @@ class PocoMC(Sampler):
                    header='Weights, Log Likelihood, Log Prior')
         logZ, logZerr = pocomc_sampler.evidence()
         print(f'log(Z) = {logZ} +/- {logZerr}')
+
+    # reference method name (samplers/pocomc.py:57)
+    write_chain = write_pocomc_chain

@@ -276,3 +276,20 @@ def apply_blinding(params, blinding):
     for par, val in blinding.items():
         params[par] += (np.pi - np.exp(val ** 2))
     return params
+
+
+def convert_instance_to_dictionary(inst):
+    """Public attributes of an object as a dict (reference: utils.py:111-125)."""
+    return {name: getattr(inst, name) for name in dir(inst)
+            if not name.startswith('__')}
+
+
+def compute_gauss_smoothing(sigma_par, sigma_trans, k_par_grid, k_trans_grid):
+    """Anisotropic Gaussian smoothing factor (reference: utils.py:396-421)."""
+    return np.exp(-(k_par_grid ** 2 * sigma_par ** 2
+                    + k_trans_grid ** 2 * sigma_trans ** 2) / 2)
+
+
+def compute_kn_smoothing(scale_par, k_grid, n):
+    """k^n smoothing factor (reference: utils.py:423-441)."""
+    return np.exp(-scale_par ** 2 * k_grid ** n / 2)
