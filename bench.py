@@ -53,6 +53,22 @@ def main():
     if smoke:
         jax.config.update('jax_platforms', 'cpu')
 
+    # The axon TPU is reached through an HTTP tunnel that can be down
+    # for hours at a time. Rather than crashing (and recording nothing
+    # for the round), fall back to the host CPU backend with an explicit
+    # label — the grid-collapse eval is small enough that the number is
+    # still meaningful, but it is NOT a TPU measurement.
+    device_fallback = ''
+    if not smoke:
+        try:
+            jax.devices()
+        except RuntimeError as exc:
+            print(f'WARNING: accelerator backend unavailable ({exc}); '
+                  'benchmarking on the host CPU backend instead',
+                  file=sys.stderr)
+            jax.config.update('jax_platforms', 'cpu')
+            device_fallback = ', CPU-FALLBACK: TPU tunnel unavailable'
+
     import numpy as np
 
     from vega_tpu.vega_interface import VegaInterface
@@ -126,7 +142,8 @@ def main():
         'metric': 'likelihood evals/sec/chip',
         'value': round(evals_per_sec_per_chip, 3),
         'unit': f'evals/s/chip (batch={batch_size}, {precision}, '
-                f'{n_devices} chip(s), compile={compile_time:.1f}s)',
+                f'{n_devices} chip(s), compile={compile_time:.1f}s'
+                f'{device_fallback})',
         'vs_baseline': round(evals_per_sec_per_chip
                              / REFERENCE_EVALS_PER_SEC, 3),
     }
