@@ -8,8 +8,7 @@ test:
 	$(PYTHON) -m pytest tests/ -x -q
 
 test-fast:
-	$(PYTHON) -m pytest tests/ -x -q \
-	  --ignore=tests/test_vega_e2e.py --ignore=tests/test_picca_parity.py
+	$(PYTHON) -m pytest tests/ -x -q -m "not slow"
 
 bench:
 	$(PYTHON) bench.py

@@ -54,18 +54,27 @@ def main():
         jax.config.update('jax_platforms', 'cpu')
 
     # The axon TPU is reached through an HTTP tunnel that can be down
-    # for hours at a time. Rather than crashing (and recording nothing
-    # for the round), fall back to the host CPU backend with an explicit
-    # label — the grid-collapse eval is small enough that the number is
-    # still meaningful, but it is NOT a TPU measurement.
+    # for hours at a time — and a down tunnel can either error fast or
+    # HANG the backend init indefinitely. Rather than crashing or
+    # hanging (and recording nothing for the round), probe the
+    # accelerator in a subprocess with a hard timeout and fall back to
+    # the host CPU backend with an explicit label — the grid-collapse
+    # eval is small enough that the number is still meaningful, but it
+    # is NOT a TPU measurement.
     device_fallback = ''
     if not smoke:
+        import subprocess
         try:
-            jax.devices()
-        except RuntimeError as exc:
-            print(f'WARNING: accelerator backend unavailable ({exc}); '
-                  'benchmarking on the host CPU backend instead',
-                  file=sys.stderr)
+            probe = subprocess.run(
+                [sys.executable, '-c', 'import jax; jax.devices()'],
+                capture_output=True, timeout=150)
+            probe_ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            probe_ok = False
+        if not probe_ok:
+            print('WARNING: accelerator backend unavailable (probe '
+                  'failed or hung); benchmarking on the host CPU '
+                  'backend instead', file=sys.stderr)
             jax.config.update('jax_platforms', 'cpu')
             device_fallback = ', CPU-FALLBACK: TPU tunnel unavailable'
 
