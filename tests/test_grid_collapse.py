@@ -194,3 +194,45 @@ def test_grid_payload_tracks_mc_mock(grid_setup, monkeypatch):
     assert chi2_mock_grid != pytest.approx(chi2_data, rel=1e-3)
     assert chi2_mock_grid == pytest.approx(chi2_mock_dense, rel=1e-6,
                                            abs=5e-3)
+
+
+def test_designated_grid_param(monkeypatch):
+    """[control] grid-params designates NON-alpha sampled parameters as
+    grid dimensions: sampling sigmaNL_par (which shapes the peak P(k)
+    grid and so breaks the plain factored classification) stays on the
+    collapsed fast path, and the interpolated chi^2 matches the dense
+    pipeline. The sigmaNL dependence is smooth (Gaussian damping), so a
+    modest node count converges spectrally."""
+    from vega_tpu.testing import make_synthetic_dataset
+    from vega_tpu.vega_interface import VegaInterface
+
+    workdir = Path(tempfile.mkdtemp(prefix='vega_tpu_gridsig_'))
+    sample = {'sigmaNL_par': 'True',
+              'bias_LYA': 'True', 'beta_LYA': 'True'}
+    main_path = make_synthetic_dataset(
+        workdir, cross=False, sample=sample,
+        extra_control=('grid-params = sigmaNL_par\n'
+                       'grid-domain-sigmaNL_par = 4.0 9.0\n'
+                       'grid-nodes-sigmaNL_par = 16\n'))
+    vega = VegaInterface(main_path)
+
+    names = ('bias_LYA', 'beta_LYA', 'sigmaNL_par')
+    payload = vega.get_collapsed(names)
+    spec = payload.get('__grid__')
+    assert spec is not None and spec.names == ('sigmaNL_par',)
+    assert spec.lo == (4.0,) and spec.hi == (9.0,)
+
+    rng = np.random.default_rng(11)
+    pts = [{'sigmaNL_par': rng.uniform(4.5, 8.5),
+            'bias_LYA': -0.117 * (1 + 0.05 * rng.normal()),
+            'beta_LYA': 1.67 * (1 + 0.05 * rng.normal())}
+           for _ in range(6)]
+    chi2_grid = np.array([vega.chi2(p) for p in pts])
+
+    monkeypatch.setenv('VEGA_TPU_GRID_COLLAPSE', '0')
+    vega_dense = VegaInterface(main_path)
+    chi2_dense = np.array([vega_dense.chi2(p) for p in pts])
+
+    assert np.all(np.isfinite(chi2_grid))
+    np.testing.assert_allclose(chi2_grid, chi2_dense, atol=5e-3,
+                               rtol=1e-6)
