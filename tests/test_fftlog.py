@@ -80,3 +80,26 @@ def test_r_grid_reciprocal(k_grid):
     assert np.all(np.diff(f.r_grid) > 0)
     # r grid covers the analysis range [10, 180] comfortably
     assert f.r_grid[0] < 1 and f.r_grid[-1] > 1000
+
+
+def test_lowring_false_against_scipy(k_grid):
+    """fht_lowring = False (reference pktoxi.py:42,53 -> mcfit
+    P2xi(lowring=False)): the log-r phase offset is 0 instead of the
+    ringing-minimizing value, shifting every output r node. The
+    chi2-level live-reference oracles cannot discriminate this (the
+    downstream spline re-absorbs the node shift to ~1e-11), so the
+    discretization is pinned here against scipy's independent FFTLog."""
+    pk = np.exp(-((np.log(k_grid) - np.log(0.05)) ** 2) / 2)
+    delta = np.log(k_grid[-1] / k_grid[0]) / (len(k_grid) - 1)
+    for ell in (0, 2):
+        f = FFTLogP2Xi(k_grid, ell, lowring=False, pad_to=0)
+        assert f.lnxy == 0.0
+        # offset 0: r grid exactly reciprocal to the k grid
+        np.testing.assert_allclose(f.r_grid * k_grid[::-1], 1.0)
+        a = pk * k_grid ** 1.5
+        big_a = fht(a, delta, mu=ell + 0.5, offset=0.0, bias=0)
+        sign = -1.0 if (ell // 2) % 2 else 1.0
+        xi_scipy = (sign / (2 * np.pi ** 2) * np.sqrt(np.pi / 2)
+                    * f.r_grid ** -1.5 * big_a)
+        np.testing.assert_allclose(f.transform(pk), xi_scipy,
+                                   rtol=0, atol=1e-12)
