@@ -31,7 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 from vega_tpu.build_config import BuildConfig            # noqa: E402
 from vega_tpu.io.fits import read_fits, write_fits      # noqa: E402
 from vega_tpu.testing import (_write_correlation_data,  # noqa: E402
-                              write_metal_file)
+                              metal_rp_shifts, write_metal_file)
 from vega_tpu.vega_interface import VegaInterface       # noqa: E402
 
 OPTIONS = {
@@ -60,6 +60,29 @@ PARAMETERS = {
 
 SAMPLED = ['ap', 'at', 'bias_LYA', 'beta_LYA']
 
+# The full Table-6-style sampled set (reference:
+# examples/eBOSS_DR16/main_combined.ini [sample]): BAO + Lya bias/RSD +
+# HCD + the metal biases + the QSO cross nuisances. drp_QSO is served
+# by the grid collapse automatically (known grid parameter);
+# sigma_velo_disp_lorentz_QSO is deliberately left un-designated so the
+# combined fit exercises the mixed route — collapsed/grid autos, dense
+# crosses — that a real DR16 run takes out of the box.
+SAMPLED_FULL = SAMPLED + [
+    'bias_hcd', 'beta_hcd',
+    'bias_SiII(1260)', 'bias_SiIII(1207)',
+    'drp_QSO', 'sigma_velo_disp_lorentz_QSO',
+]
+
+# Grid-collapse budget for the full-set fit: narrow (ap, at) node
+# domains around the expected minimum and a tight drp window keep the
+# one-time Chebyshev sweep affordable at the same node spacing (= same
+# interpolation accuracy) as the production defaults.
+CONTROL_FULL = {
+    'grid-domain-pad': '0.08',
+    'grid-nodes-ap': '12', 'grid-nodes-at': '12',
+    'grid-domain-drp_QSO': '-0.6 0.6', 'grid-nodes-drp_QSO': '8',
+}
+
 CORRS = {                     # name -> (file stem, is_cross)
     'lyaxlya': ('cf_lya', False),
     'lyaxlyb': ('cf_lyb', False),
@@ -75,7 +98,7 @@ FIT_TYPES = {
 
 
 def build_configs(workdir, nt, extension=None, global_cov_file=None,
-                  fit_types=None):
+                  fit_types=None, sample_params=None, control_extra=None):
     rng = np.random.default_rng(0)
     correlations = {}
     for name, (stem, is_cross) in CORRS.items():
@@ -85,10 +108,14 @@ def build_configs(workdir, nt, extension=None, global_cov_file=None,
             coords = _write_correlation_data(path, is_cross, 2.33, rng,
                                              nt=nt)
             metals = OPTIONS['metals']
+            # Physical line-misidentification rp offsets (puts the
+            # SiIII(1207) bump at ~21 Mpc/h and keeps the two metal
+            # lines distinguishable — i.e. their biases non-degenerate)
+            shifts = metal_rp_shifts(metals, 2.33)
             write_metal_file(metal_path, coords, 2.33,
                              'QSO' if is_cross else 'LYA', 'LYA',
                              metals_in1=() if is_cross else metals,
-                             metals_in2=metals)
+                             metals_in2=metals, rp_shifts=shifts)
         correlations[name] = {'corr_path': str(path),
                               'metal_path': str(metal_path),
                               'rp-min': -200. if is_cross else 0.}
@@ -96,14 +123,30 @@ def build_configs(workdir, nt, extension=None, global_cov_file=None,
     mains = {}
     for label, fit_type in (fit_types or FIT_TYPES).items():
         builder = BuildConfig(options=dict(OPTIONS), overwrite=True)
-        fit_info = {'fitter': True, 'zeff': 2.33, 'sample_params': SAMPLED}
+        fit_info = {'fitter': True, 'zeff': 2.33,
+                    'sample_params': list(sample_params or SAMPLED)}
         if global_cov_file is not None:
             fit_info['global_cov_file'] = str(global_cov_file)
         name_ext = label if extension is None else f'{label}-{extension}'
         mains[label] = builder.build(
             correlations, fit_type, fit_info, workdir,
             parameters=dict(PARAMETERS), name_extension=name_ext)
+        if control_extra:
+            _append_control(mains[label], control_extra)
     return mains
+
+
+def _append_control(main_path, extra):
+    """Merge extra [control] keys into a generated main.ini."""
+    import configparser
+    config = configparser.ConfigParser()
+    config.optionxform = str
+    config.read(main_path)
+    if 'control' not in config:
+        config['control'] = {}
+    config['control'].update(extra)
+    with open(main_path, 'w') as f:
+        config.write(f)
 
 
 def regenerate_from_truth(workdir, main_path, nt):
@@ -135,14 +178,14 @@ def make_global_cov(workdir, main_path):
     return path
 
 
-def run_fit(label, main_path):
+def run_fit(label, main_path, sampled=SAMPLED):
     vega = VegaInterface(main_path)
     vega.minimize()
     values = dict(vega.bestfit.values)
     errors = dict(vega.bestfit.errors)
     print(f'\n=== {label}: chi2 = {vega.chisq:.2f} '
           f'(reduced {vega.reduced_chisq:.3f}) ===')
-    for par in SAMPLED:
+    for par in sampled:
         truth = PARAMETERS[par]
         pull = (values[par] - truth) / max(errors[par], 1e-12)
         print(f'  {par:10s} = {values[par]:+.4f} +- {errors[par]:.4f} '
@@ -156,6 +199,10 @@ def main():
     parser.add_argument('--workdir', default=None)
     parser.add_argument('--tiny', action='store_true',
                         help='smaller grids for a quick smoke run')
+    parser.add_argument('--full-params', action='store_true',
+                        help='sample the full Table-6-style parameter '
+                             'set (BAO + HCD + metal biases + QSO cross '
+                             'nuisances) in the combined fit')
     args = parser.parse_args()
 
     workdir = Path(args.workdir or tempfile.mkdtemp(prefix='dr16_synth_'))
@@ -168,6 +215,14 @@ def main():
 
     for label in ('auto', 'cross', 'combined'):
         run_fit(label, mains[label])
+
+    if args.full_params:
+        fmains = build_configs(
+            workdir, nt, extension='full',
+            fit_types={'combined': FIT_TYPES['combined']},
+            sample_params=SAMPLED_FULL, control_extra=CONTROL_FULL)
+        run_fit('combined-full-params', fmains['combined'],
+                sampled=SAMPLED_FULL)
 
     # Global-covariance variant of the combined fit
     gcov = make_global_cov(workdir, mains['combined'])

@@ -4,6 +4,8 @@ the global-covariance variant (reference: examples/eBOSS_DR16/
 main_combined.ini, vega_interface.py:888-954)."""
 
 import importlib.util
+
+import numpy as np
 import pytest
 
 pytestmark = pytest.mark.slow
@@ -42,3 +44,28 @@ def test_dr16_combined_and_global_cov(tmp_path):
     # block-diagonal global cov == per-corr covs: same best fit
     for par in ('ap', 'at', 'bias_LYA', 'beta_LYA'):
         assert abs(gvalues[par] - values[par]) < 1e-5
+
+
+def test_dr16_full_parameter_set(tmp_path):
+    """The full Table-6-style sampled set (BAO + HCD + metal biases +
+    QSO cross nuisances, 10 parameters) fits end-to-end through the
+    MIXED execution route a real DR16 run takes: drp_QSO rides the grid
+    collapse with (ap, at), sigma_velo_disp_lorentz_QSO is un-designated
+    so the crosses run the dense path, and the HCD/metal/bias parameters
+    stay collapsed coefficients (division-free Kaiser)."""
+    ex = _load_example()
+    nt = 12
+
+    mains = ex.build_configs(tmp_path, nt)
+    ex.regenerate_from_truth(tmp_path, mains['combined'], nt)
+
+    fmains = ex.build_configs(
+        tmp_path, nt, extension='full',
+        fit_types={'combined': ex.FIT_TYPES['combined']},
+        sample_params=ex.SAMPLED_FULL, control_extra=ex.CONTROL_FULL)
+    values, errors = ex.run_fit('combined-full-params',
+                                fmains['combined'],
+                                sampled=ex.SAMPLED_FULL)
+    assert set(ex.SAMPLED_FULL) <= set(values)
+    for par in ex.SAMPLED_FULL:
+        assert np.isfinite(errors[par]) and errors[par] > 0

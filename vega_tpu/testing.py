@@ -157,13 +157,40 @@ def _write_correlation_data(path, is_cross, z_eff, rng, model_xi=None,
     return coords
 
 
+def metal_rp_shifts(metals, z_eff, main_absorber='LYA', omega_m=0.315):
+    """Physical line-of-sight coordinate offsets (Mpc/h) for absorbers of
+    each metal line misidentified as `main_absorber`: an absorber at
+    observed wavelength w assumed to sit at z_assumed = w/lambda_main - 1
+    truly sits at z_true = w/lambda_metal - 1, so its comoving position
+    is off by r(z_true) - r(z_assumed).  This is what puts the SiIII(1207)
+    contamination bump at rp ~ 21 Mpc/h in the DR16 auto-correlation
+    (reference: metals.py:523-535 builds the full per-pair version of
+    this inside the new-metals distortion matrices)."""
+    from .cosmo import ABSORBER_IGM, Cosmo
+    cosmo = Cosmo(Om=omega_m)
+    lam_main = ABSORBER_IGM[main_absorber]
+    wave = lam_main * (1.0 + z_eff)     # observed wavelength at z_eff
+    shifts = {}
+    for m in metals:
+        z_true = wave / ABSORBER_IGM[m] - 1.0
+        shifts[m] = float(cosmo.get_r_comov(z_true)
+                          - cosmo.get_r_comov(z_eff))
+    return shifts
+
+
 def write_metal_file(path, coords, z_eff, tracer1, tracer2,
-                     metals_in1=(), metals_in2=()):
+                     metals_in1=(), metals_in2=(), rp_shifts=None):
     """Write a picca-style metal file with coordinate columns for every
     metal pair a Data reader may request (RP_/RT_/Z_ per pair name, both
     orders), and NO distortion columns — with `test = True` in [data]
     the reader substitutes identity metal matrices (mirrors the
-    reference's test fixtures, reference data.py:683-684)."""
+    reference's test fixtures, reference data.py:683-684).
+
+    rp_shifts: optional {absorber: Mpc/h offset} (see metal_rp_shifts).
+    When given, each pair's RP column is offset by the difference of its
+    two absorbers' shifts (main tracers shift by 0), mimicking the
+    shifted effective separations real picca metal files carry and
+    making different metal lines distinguishable in a fit."""
     pair_names = set()
     for m in metals_in2:
         pair_names.add(f'{tracer1}_{m}')
@@ -183,9 +210,14 @@ def write_metal_file(path, coords, z_eff, tracer1, tracer2,
         'RTMAX': coords.rt_max, 'NP': coords.rp_nbins,
         'NT': coords.rt_nbins, 'BLINDING': 'none',
     }
+    shifts = rp_shifts or {}
     columns = {}
     for name in sorted(pair_names):
-        columns[f'RP_{name}'] = coords.rp_grid
+        # pair names are '<abs1>_<abs2>'; absorber names themselves
+        # contain no underscores (LYA, QSO, SiII(1260), ...)
+        a1, a2 = name.rsplit('_', 1)
+        dshift = shifts.get(a2, 0.0) - shifts.get(a1, 0.0)
+        columns[f'RP_{name}'] = coords.rp_grid + dshift
         columns[f'RT_{name}'] = coords.rt_grid
         columns[f'Z_{name}'] = z
     write_fits(path, [
