@@ -111,3 +111,93 @@ def test_sensitivity_plot(tmp_path):
     pname = next(iter(vega.sample_params['limits']))
     fig = vega.plots.plot_sensitivity(vega.sensitivity, name, pname)
     assert fig is not None
+
+
+def test_plot_data_matches_manual_compression(tmp_path):
+    """plot_data's returned (x, values, cov) equal the Wedge weight
+    matrix applied by hand (reference plot.py:191-262 contract)."""
+    import matplotlib.pyplot as plt
+    from vega_tpu.testing import make_synthetic_dataset
+    from vega_tpu.vega_interface import VegaInterface
+
+    vega = VegaInterface(make_synthetic_dataset(tmp_path, cross=False,
+                                                size='tiny'))
+    name = next(iter(vega.corr_items))
+    mu_bin = (0.5, 1.0)
+
+    fig, ax = plt.subplots()
+    x, vals, cov = vega.plots.plot_data(ax, mu_bin, corr_name=name)
+    plt.close(fig)
+
+    wedge = vega.plots.initialize_wedge(mu_bin, corr_name=name,
+                                        is_data=True)
+    x2, vals2, cov2 = wedge(np.asarray(vega.plots.data[name]),
+                            np.asarray(vega.plots.cov_mat[name]))
+    np.testing.assert_allclose(x, x2)
+    np.testing.assert_allclose(vals, vals2)
+    np.testing.assert_allclose(cov, cov2)
+
+
+def test_plot_model_masked_path(tmp_path):
+    """A model vector on the model grid is masked onto the data grid and
+    compressed with the data covariance (reference plot.py:263-338)."""
+    import matplotlib.pyplot as plt
+    from vega_tpu.testing import make_synthetic_dataset
+    from vega_tpu.vega_interface import VegaInterface
+
+    vega = VegaInterface(make_synthetic_dataset(tmp_path, cross=False,
+                                                size='tiny'))
+    name = next(iter(vega.corr_items))
+    model = vega.compute_model(run_init=False)
+    mu_bin = (0.0, 0.5)
+
+    fig, ax = plt.subplots()
+    x, vals = vega.plots.plot_model(ax, mu_bin, model=model[name],
+                                    corr_name=name)
+    assert len(ax.lines) == 1
+    plt.close(fig)
+    assert np.all(np.isfinite(vals)) and len(x) == len(vals)
+
+    # data + model through the composed wedge: same compression grid
+    fig, ax = plt.subplots()
+    dw, mw = vega.plots.plot_wedge(ax, mu_bin, models=[model[name]],
+                                   corr_name=name, data_label='d',
+                                   labels=['m'])
+    plt.close(fig)
+    np.testing.assert_allclose(dw[0], mw[0])
+
+
+def test_plot_panel_drivers_and_postprocess(tmp_path):
+    """plot_1wedge / plot_2wedges / plot_4wedge_panel figure contracts +
+    postprocess_fig ylim broadcasting (reference plot.py:375-402,
+    587-679, 747-813)."""
+    import matplotlib.pyplot as plt
+    from vega_tpu.testing import make_synthetic_dataset
+    from vega_tpu.vega_interface import VegaInterface
+
+    vega = VegaInterface(make_synthetic_dataset(tmp_path, cross=False,
+                                                size='tiny'))
+    name = next(iter(vega.corr_items))
+    model = vega.compute_model(run_init=False)
+
+    fig = vega.plots.plot_1wedge(models=[model[name]], corr_name=name,
+                                 data_label='data', labels=['model'])
+    assert len(fig.axes) == 1
+    plt.close(fig)
+
+    fig = vega.plots.plot_2wedges(models=[model[name]], corr_name=name,
+                                  data_label='data', labels=['model'])
+    assert len(fig.axes) == 2
+    plt.close(fig)
+
+    fig = vega.plots.plot_4wedge_panel(model=model[name], corr_name=name)
+    ax = fig.axes[0]
+    # 4 wedges x (model line + errorbar data line)
+    assert len([ln for ln in ax.lines if len(ln.get_xdata()) > 2]) >= 8
+    vega.plots.postprocess_fig(fig, xlim=(0, 150), ylim=(-5, 5))
+    assert ax.get_xlim() == (0.0, 150.0)
+    vega.plots.postprocess_fig(fig, ylim=[(-1, 1)])
+    assert ax.get_ylim() == (-1.0, 1.0)
+    with pytest.raises(ValueError, match='unsupported ndim'):
+        vega.plots.postprocess_fig(fig, ylim=np.zeros((1, 1, 2)))
+    plt.close(fig)
