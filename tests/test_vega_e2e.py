@@ -72,3 +72,39 @@ def test_batched_likelihood_matches_serial(vega):
     for i in range(3):
         chi2_single = vega.chi2({k: float(v[i]) for k, v in batch.items()})
         assert chi2_batch[i] == pytest.approx(chi2_single, rel=1e-10)
+
+
+def test_metals_dropin_aliases(vega):
+    """The reference-named per-pair metal entry points (reference
+    metals.py:144-256) are views over the restructured pipeline."""
+    import numpy as np
+
+    name, model = next((n, m) for n, m in vega.models.items()
+                       if m.metals is not None
+                       and m.metals._corr_item.metal_correlations)
+    metals = model.metals
+    pk_full = vega.fiducial['pk_full']
+    pars = dict(vega.params)
+    pars['peak'] = False
+
+    corr_hash = metals._corr_item.metal_correlations[0]
+    base, _ = metals.compute_metal_corr(pars, pk_full, corr_hash,
+                                        fast_metals=True)
+    slow = metals.compute_metal_corr_slow(pars, pk_full, corr_hash,
+                                          fast_metals=True)
+    np.testing.assert_allclose(np.asarray(slow), np.asarray(base),
+                               rtol=1e-12)
+
+    mm = metals.compute_xi_metal_metal(pk_full, pars, corr_hash)
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(base),
+                               rtol=1e-12)
+
+    undist, _ = metals.compute_metal_corr(pars, pk_full, corr_hash,
+                                          fast_metals=True,
+                                          add_metal_dmat=False)
+    cm = metals.compute_xi_metal_cross_main(pk_full, pars, corr_hash,
+                                            0.5, 1.6)
+    np.testing.assert_allclose(
+        np.asarray(cm),
+        np.asarray(metals.apply_metal_matrix(undist, corr_hash)),
+        rtol=1e-12)

@@ -516,6 +516,29 @@ class Metals:
             self.xi_distorted[component][corr_hash] = np.asarray(dmat_xi)
         return dmat_xi, bad
 
+    # -- reference-named drop-in surface --------------------------------
+    # The reference splits the per-pair computation into three cached
+    # entry points (metals.py:144-256); here caching is unnecessary
+    # (recompute is free under jit), so these are views over
+    # compute_metal_corr that drop the bad-flag.
+    def compute_metal_corr_slow(self, pars, pk_lin, corr_hash, fast_metals,
+                                add_metal_dmat=True, component=None):
+        xi, _ = self.compute_metal_corr(pars, pk_lin, corr_hash, fast_metals,
+                                        add_metal_dmat, component)
+        return xi
+
+    def compute_xi_metal_metal(self, pk_lin, pars, corr_hash):
+        return self.compute_metal_corr_slow(pars, pk_lin, corr_hash,
+                                            fast_metals=True)
+
+    def compute_xi_metal_cross_main(self, pk_lin, pars, corr_hash,
+                                    beta1, beta2):
+        del beta1, beta2  # reference cache-key arguments; no cache here
+        xi, _ = self.compute_metal_corr(pars, pk_lin, corr_hash,
+                                        fast_metals=True,
+                                        add_metal_dmat=False)
+        return self.apply_metal_matrix(xi, corr_hash)
+
     def compute(self, pars, pk_lin, component):
         """Sum of all metal correlations (reference: metals.py:258-336).
         Returns (xi_metals, bad_flag). All caching is gone: the bias

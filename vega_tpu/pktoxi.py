@@ -65,6 +65,50 @@ def legendre(ell, x):
     return out
 
 
+def _hamilton_operators(k, ell_vals, n_exp, project_scale):
+    """Dense operators for the legacy Hamilton-2000 transform
+    (conventions of the reference's Pk2Mp, pktoxi.py:230-279).
+
+    Returns (ops, logr_knots) with ops[i] mapping the input spectrum
+    (a multipole if project_scale, else the raw 1D pk) to xi samples
+    at the shifted knots log(r) - dr/2.
+    """
+    k = np.asarray(k, dtype=np.float64)
+    k0 = k[0]
+    log_span = np.log(k.max() / k0)
+    n = len(k)
+    emm = n * npfft.fftfreq(n)
+    r = 1.0 * np.exp(-emm * log_span / n)
+    dr = abs(np.log(r[1] / r[0]))
+    order = np.argsort(r)
+    r_sorted = r[order]
+
+    q = 2.0 - n_exp - 0.5
+    x = q + 2j * np.pi * emm / log_span
+
+    ops = []
+    for ell in ell_vals:
+        mu = ell + 0.5
+        lg1 = loggamma((mu + 1 + x) / 2)
+        lg2 = loggamma((mu + 1 - x) / 2)
+        um = (k0 * 1.0) ** (-2j * np.pi * emm / log_span) \
+            * 2 ** x * np.exp(lg1 - lg2)
+        um[0] = um[0].real
+        # Linear operator: input -> fft -> *um -> ifft -> sort -> /r^(3-n)
+        weight = k ** n_exp * np.sqrt(np.pi / 2)
+        if project_scale:
+            # the standard path folds (-1)^(ell//2)/(2 pi^2) into the
+            # projected multipole (reference: pktoxi.py:260)
+            weight = weight * ((-1.0) ** (ell // 2) / (2 * np.pi ** 2))
+        basis = np.eye(n) * weight[None, :]
+        an = npfft.fft(basis, axis=1) * um[None, :]
+        xi_rows = npfft.ifft(an, axis=1)[:, order].real
+        xi_rows /= r_sorted[None, :] ** (3 - n_exp)
+        xi_rows[:, -1] = 0.0
+        ops.append(np.ascontiguousarray(xi_rows.T))
+    return np.stack(ops), np.log(r_sorted) - dr / 2
+
+
 class PktoXi:
     """Transform plan for one tracer pair on fixed (k, mu_k) grids
     (reference: pktoxi.py:12-59 for the configuration surface)."""
@@ -324,46 +368,10 @@ class PktoXi:
     # by the old_fftlog compatibility mode.
     # ------------------------------------------------------------------
     def _build_legacy_operators(self, ell_vals, n_exp, project_scale):
-        """Dense operators for the legacy transform.
-
-        Returns (ops, logr_knots) with ops[i] mapping the input spectrum
-        (a multipole if project_scale, else the raw 1D pk) to xi samples
-        at the shifted knots log(r) - dr/2.
-        """
-        k = self.k_grid
-        k0 = k[0]
-        log_span = np.log(k.max() / k0)
-        n = len(k)
-        emm = n * npfft.fftfreq(n)
-        r = 1.0 * np.exp(-emm * log_span / n)
-        dr = abs(np.log(r[1] / r[0]))
-        order = np.argsort(r)
-        r_sorted = r[order]
-
-        q = 2.0 - n_exp - 0.5
-        x = q + 2j * np.pi * emm / log_span
-
-        ops = []
-        for ell in ell_vals:
-            mu = ell + 0.5
-            lg1 = loggamma((mu + 1 + x) / 2)
-            lg2 = loggamma((mu + 1 - x) / 2)
-            um = (k0 * 1.0) ** (-2j * np.pi * emm / log_span) \
-                * 2 ** x * np.exp(lg1 - lg2)
-            um[0] = um[0].real
-            # Linear operator: input -> fft -> *um -> ifft -> sort -> /r^(3-n)
-            weight = k ** n_exp * np.sqrt(np.pi / 2)
-            if project_scale:
-                # the standard path folds (-1)^(ell//2)/(2 pi^2) into the
-                # projected multipole (reference: pktoxi.py:260)
-                weight = weight * ((-1.0) ** (ell // 2) / (2 * np.pi ** 2))
-            basis = np.eye(n) * weight[None, :]
-            an = npfft.fft(basis, axis=1) * um[None, :]
-            xi_rows = npfft.ifft(an, axis=1)[:, order].real
-            xi_rows /= r_sorted[None, :] ** (3 - n_exp)
-            xi_rows[:, -1] = 0.0
-            ops.append(np.ascontiguousarray(xi_rows.T))
-        return np.stack(ops), np.log(r_sorted) - dr / 2
+        """Dense operators for the legacy transform (see
+        _hamilton_operators)."""
+        return _hamilton_operators(self.k_grid, tuple(ell_vals),
+                                   n_exp, project_scale)
 
     def _legacy_eval(self, ops, logr_knots, sd_ops, spectra, r_grid):
         log_r = jnp.log(jnp.where(r_grid != 0, r_grid, 1.0))
@@ -373,11 +381,11 @@ class PktoXi:
                               m_knots[:, None, :], log_r[None, :])
         return vals[:, 0, :]
 
-    def _get_legacy_ops(self, ell_vals, n_exp):
-        key = (self.k_grid.tobytes(), ell_vals, n_exp)
+    def _get_legacy_ops(self, ell_vals, n_exp, project_scale=False):
+        key = (self.k_grid.tobytes(), ell_vals, n_exp, project_scale)
         if key not in _LEGACY_OPERATOR_CACHE:
             ops, logr = self._build_legacy_operators(
-                ell_vals, n_exp=n_exp, project_scale=False)
+                ell_vals, n_exp=n_exp, project_scale=project_scale)
             s_mat = notaknot_second_derivative_matrix(logr)
             _LEGACY_OPERATOR_CACHE[key] = (
                 ops, logr, np.einsum('ij,ljk->lik', s_mat, ops))
@@ -409,3 +417,103 @@ class PktoXi:
                   * r_grid * legendre(1, mu_grid))
         xi_asy += params['Aasy3'] * vals[1] * r_grid * legendre(3, mu_grid)
         return xi_asy
+
+    # ------------------------------------------------------------------
+    # Reference-named drop-in surface. The reference keeps three extra
+    # public entry points (pktoxi.py:166-319): the cached per-multipole
+    # interpolator split (compute_xi_ell / compute_xi) and the outdated
+    # Hamilton-2000 path (Pk2Mp / pk_to_xi). Here they are host-facing
+    # views over the dense operators; no caching (recompute is free).
+    # ------------------------------------------------------------------
+    def compute_xi_ell(self, pk, ell_vals, *cache_pars):
+        """Per-multipole Xi_ell(log r) evaluators (reference:
+        pktoxi.py:166-193). *cache_pars are accepted for signature
+        compatibility and ignored."""
+        del cache_pars
+        pk_ells = self.legendre_proj @ jnp.asarray(pk)
+        if self._extrap_geom is not None:
+            pk_ells = self._extrap_pad(pk_ells)
+        xi_knots = np.asarray(jnp.einsum('lij,lj->li',
+                                         resolve(self.fft_ops), pk_ells))
+        m_knots = np.asarray(jnp.einsum('lij,lj->li',
+                                        resolve(self.fft_sd_ops), pk_ells))
+        logr = self.logr_knots
+        out = {}
+        for i, ell in enumerate(self.ell_vals):
+            if ell not in ell_vals:
+                continue
+
+            def interp(log_r_query, _k=xi_knots[i], _m=m_knots[i]):
+                q = np.atleast_1d(np.asarray(log_r_query, dtype=float))
+                vals, oob = spline_eval(logr, _k[None, None, :],
+                                        _m[None, None, :], q[None, :])
+                if bool(np.any(np.asarray(oob))):
+                    from .utils import VegaBoundsError
+                    raise VegaBoundsError(
+                        'Xi_ell interpolation out of range.')
+                return np.asarray(vals)[0, 0]
+
+            out[ell] = interp
+        return out
+
+    def compute_xi(self, xi_ell_interp, r_grid, mu_grid):
+        """Sum the interpolated multipoles times P_ell(mu) (reference:
+        pktoxi.py:195-228)."""
+        r_grid = np.asarray(r_grid)
+        mask = r_grid != 0
+        full_xi = np.zeros(len(r_grid))
+        for ell, interp in xi_ell_interp.items():
+            xi_ell = np.zeros(len(r_grid))
+            xi_ell[mask] = interp(np.log(r_grid[mask]))
+            full_xi += xi_ell * np.asarray(
+                legendre(ell, jnp.asarray(mu_grid)))
+        return full_xi
+
+    @staticmethod
+    def Pk2Mp(ar, k, pk, ell_vals, muk, dmuk, tform=None):
+        """Outdated reference API (pktoxi.py:230-279): Hamilton-2000
+        FFTLog multipole transform, served by the same dense legacy
+        operators as the relativistic/asymmetry terms. Returns a numpy
+        (n_ell, len(ar)) array indexed by ell//2 like the reference."""
+        k = np.asarray(k, dtype=np.float64)
+        ell_vals = tuple(int(e) for e in ell_vals)
+        n_exp = 1 if tform == 'rel' else 2
+        project = tform not in ('rel', 'asy')
+        ops, logr = _hamilton_operators(k, ell_vals, n_exp=n_exp,
+                                        project_scale=project)
+        s_mat = notaknot_second_derivative_matrix(logr)
+        sd_ops = np.einsum('ij,ljk->lik', s_mat, ops)
+        log_ar = np.log(np.asarray(ar, dtype=float))
+        muk = np.asarray(muk)
+        xi = np.zeros((len(ell_vals), len(log_ar)))
+        for i, ell in enumerate(ell_vals):
+            if project:
+                spec = np.sum(dmuk * np.polyval(LEGENDRE_COEFFS[ell], muk)
+                              * pk, axis=0) * (2 * ell + 1)
+            else:
+                spec = np.asarray(pk, dtype=float)
+            knots = ops[i] @ spec
+            m = sd_ops[i] @ spec
+            vals, _ = spline_eval(logr, knots[None, None, :],
+                                  m[None, None, :], log_ar[None, :])
+            xi[ell // 2] = np.asarray(vals)[0, 0]
+        return xi
+
+    def pk_to_xi(self, r_grid, mu_grid, pk, multipole=-1):
+        """Outdated reference API (pktoxi.py:281-319): full correlation
+        via the Hamilton-2000 conventions."""
+        ell_vals = self.ell_vals
+        if not multipole < 0:
+            ell_vals = (int(multipole),)
+        ops, logr, sd_ops = self._get_legacy_ops(ell_vals, n_exp=2,
+                                                 project_scale=True)
+        proj = np.stack([np.polyval(LEGENDRE_COEFFS[ell], self.muk_grid.ravel())
+                         * self.muk_weights * (2 * ell + 1)
+                         for ell in ell_vals])
+        pk_ells = proj @ jnp.asarray(pk)
+        vals = self._legacy_eval(ops, logr, sd_ops, pk_ells, r_grid)
+        if not multipole < 0:
+            return vals[0]
+        legendre_mu = jnp.stack([legendre(ell, mu_grid)
+                                 for ell in ell_vals])
+        return jnp.sum(vals * legendre_mu, axis=0)

@@ -293,3 +293,11 @@ def compute_gauss_smoothing(sigma_par, sigma_trans, k_par_grid, k_trans_grid):
 def compute_kn_smoothing(scale_par, k_grid, n):
     """k^n smoothing factor (reference: utils.py:423-441)."""
     return np.exp(-scale_par ** 2 * k_grid ** n / 2)
+
+
+# Drop-in surface: the reference exposes the growth machinery from
+# vega.utils (reference: utils.py:128-227); here it lives in cosmo.py
+# (init-time host work). Re-exported so `from vega_tpu.utils import
+# growth_function` works for reference users.
+from .cosmo import (hubble, growth_integrand,  # noqa: E402,F401
+                    get_growth_interp, growth_function)
