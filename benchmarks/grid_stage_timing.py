@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Attribute the per-batch wall-clock of the grid-collapse chi^2 path.
+
+Times, on the active backend (TPU unless JAX_PLATFORMS=cpu):
+
+  0. a no-op dispatch            -> transport/dispatch floor
+  1. psi only                    -> Chebyshev recurrences + outer
+  2. psi @ B_i (all corrs)       -> mode contraction
+  3. (psi @ B_i) @ F_i           -> payload interpolation
+  4. full quadratic forms        -> + dc A dc terms
+  5. the production chi^2 graph  -> everything incl. coefficients
+
+Usage: python benchmarks/grid_stage_timing.py [batch_size]
+Writes one line per stage; differences between consecutive stages are
+the stage costs. Uses the flagship DR16-subset config when the
+reference checkout is present, else the synthetic full-size twin.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault('VEGA_TPU_GRID_PAD', '0.06')
+os.environ.setdefault('VEGA_TPU_GRID_NODES', '20')
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+
+    from vega_tpu.vega_interface import VegaInterface
+    from vega_tpu.parallel import BatchedLikelihood
+    from vega_tpu.gridcollapse import grid_psi, grid_corr_chi2
+
+    if os.path.isdir('/root/reference/tests'):
+        os.chdir('/root/reference/tests')
+        vega = VegaInterface('full_configs/main.ini')
+        sampled = {'bias_eta_LYA': -0.2008, 'beta_LYA': 1.67,
+                   'ap': 1.0, 'at': 1.0}
+    else:
+        import tempfile
+        from vega_tpu.testing import make_synthetic_dataset
+        workdir = tempfile.mkdtemp(prefix='vega_tpu_prof_')
+        vega = VegaInterface(make_synthetic_dataset(workdir, cross=True))
+        sampled = {'bias_LYA': -0.117, 'beta_LYA': 1.67,
+                   'ap': 1.0, 'at': 1.0}
+
+    payload = vega.get_collapsed(frozenset(sampled))
+    spec = payload['__grid__']
+    names = [n for n in payload if n != '__grid__']
+    print('payload:', {n: (payload[n]['B'].shape, payload[n]['F'].shape)
+                       for n in names})
+
+    rng = np.random.default_rng(0)
+    batches = {k: jnp.asarray(v + 0.005 * np.abs(v)
+                              * rng.normal(size=batch))
+               for k, v in sampled.items()}
+    dev_payload = {n: {k: jnp.asarray(v) for k, v in payload[n].items()}
+                   for n in names}
+    # random but fixed dc stand-ins (the real coefficient trace is what
+    # stage 5 adds on top)
+    dcs = {n: jnp.asarray(rng.normal(size=(batch,
+                                           payload[n]['cref'].shape[0]))
+                          * 0.01)
+           for n in names}
+
+    def stage0(b):
+        return b['ap'] * 1.0
+
+    def stage1(b):
+        psi, exc = jax.vmap(lambda a, t: grid_psi(
+            spec, {'ap': a, 'at': t}))(b['ap'], b['at'])
+        return psi.sum(axis=1) + exc
+
+    def stage2(b, pl):
+        psi, _ = jax.vmap(lambda a, t: grid_psi(
+            spec, {'ap': a, 'at': t}))(b['ap'], b['at'])
+        out = 0.
+        for n in names:
+            out = out + (psi @ pl[n]['B']).sum(axis=1)
+        return out
+
+    def stage3(b, pl):
+        psi, _ = jax.vmap(lambda a, t: grid_psi(
+            spec, {'ap': a, 'at': t}))(b['ap'], b['at'])
+        out = 0.
+        for n in names:
+            out = out + ((psi @ pl[n]['B']) @ pl[n]['F']).sum(axis=1)
+        return out
+
+    def stage4(b, pl, dc):
+        psi, _ = jax.vmap(lambda a, t: grid_psi(
+            spec, {'ap': a, 'at': t}))(b['ap'], b['at'])
+        out = 0.
+        for n in names:
+            c = pl[n]['cref'][None, :] + dc[n]
+            out = out + jax.vmap(
+                lambda p, cc, _pl=pl[n]: grid_corr_chi2(_pl, p, cc))(
+                    psi, c)
+        return out
+
+    bl = BatchedLikelihood(vega)
+
+    def run(label, fn, *args):
+        jitted = jax.jit(fn)
+        t0 = time.time()
+        jax.block_until_ready(jitted(*args))
+        compile_s = time.time() - t0
+        reps = 10
+        t0 = time.time()
+        for _ in range(reps):
+            out = jitted(*args)
+        jax.block_until_ready(out)
+        per = (time.time() - t0) / reps
+        print(f'{label:34s} {per * 1e3:9.2f} ms/batch '
+              f'({batch / per:9.0f} evals/s)  [compile {compile_s:.1f}s]')
+        return per
+
+    print(f'\nbatch = {batch}, backend = {jax.default_backend()}')
+    run('0 dispatch floor', stage0, batches)
+    run('1 + psi (cheb + outer)', stage1, batches)
+    run('2 + psi @ B', stage2, batches, dev_payload)
+    run('3 + (psi @ B) @ F', stage3, batches, dev_payload)
+    run('4 + quadratic forms', stage4, batches, dev_payload, dcs)
+
+    t0 = time.time()
+    chi2 = bl.chi2({k: np.asarray(v) for k, v in batches.items()})
+    print(f'[production compile+run {time.time() - t0:.1f}s]')
+    reps = 5
+    t0 = time.time()
+    for _ in range(reps):
+        chi2 = bl.chi2({k: np.asarray(v) for k, v in batches.items()})
+    per = (time.time() - t0) / reps
+    print(f'{"5 production chi2 graph":34s} {per * 1e3:9.2f} ms/batch '
+          f'({batch / per:9.0f} evals/s)')
+    assert np.all(np.isfinite(chi2))
+
+
+if __name__ == '__main__':
+    main()
