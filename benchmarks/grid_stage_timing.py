@@ -128,6 +128,57 @@ def main():
     run('3 + (psi @ B) @ F', stage3, batches, dev_payload)
     run('4 + quadratic forms', stage4, batches, dev_payload, dcs)
 
+    # ---- the real coefficient trace (what stage 5 adds over stage 4) ----
+    from vega_tpu.statics import STATICS
+    from vega_tpu.factored import FactoredXi
+
+    # production replaces grid params with the spec reference values for
+    # the model trace, so the coefficient chains never see ap/at
+    ref_subst = dict(zip(spec.names, spec.ref))
+
+    def coeff_one(sample_params, statics):
+        with STATICS.bind(statics):
+            sp = dict(sample_params)
+            sp.update(ref_subst)
+            local = vega._get_lcl_prms(sp)
+            model_cf, bad = vega._model_graph(local, keep_factored=True)
+            out = 0.
+            for n in names:
+                fxi = model_cf[n].mask(vega.data[n].model_mask)
+                out = out + fxi.coeff_vector().sum()
+            return out + jnp.where(bad, 1e100, 0.)
+
+    statics = STATICS.device_tree()
+
+    def stage_c(b, st):
+        return jax.vmap(coeff_one, in_axes=(0, None))(b, st)
+
+    def stage_c128(b, st):
+        chunks = {k: v.reshape(-1, 128) for k, v in b.items()}
+        return jax.lax.map(
+            lambda ch: jax.vmap(coeff_one, in_axes=(0, None))(ch, st),
+            chunks).reshape(-1)
+
+    def stage_c_f32(b, st):
+        b32 = {k: v.astype(jnp.float32) for k, v in b.items()}
+        return jax.vmap(coeff_one, in_axes=(0, None))(b32, st)
+
+    run('C real coeff trace (one vmap)', stage_c, batches, statics)
+    run('C128 coeff trace (lax.map 128)', stage_c128, batches, statics)
+    run('Cf32 coeff trace (f32 params)', stage_c_f32, batches, statics)
+
+    # ---- production graph with pre-staged device args (no host work) ----
+    names_key = tuple(sorted(batches.keys()))
+    per_dev = min(bl.chunk_per_device, -(-batch // bl.n_devices))
+    chunk_total = per_dev * bl.n_devices
+    padded = {k: jnp.asarray(np.asarray(v).reshape(-1, chunk_total))
+              for k, v in batches.items()}
+    fn = bl._build(names_key)
+    collapsed_dev = vega._device_collapsed(vega.get_collapsed(names_key))
+    with bl.mesh:
+        run('P production fn(device args)', fn, padded, statics,
+            collapsed_dev)
+
     t0 = time.time()
     chi2 = bl.chi2({k: np.asarray(v) for k, v in batches.items()})
     print(f'[production compile+run {time.time() - t0:.1f}s]')
@@ -136,7 +187,7 @@ def main():
     for _ in range(reps):
         chi2 = bl.chi2({k: np.asarray(v) for k, v in batches.items()})
     per = (time.time() - t0) / reps
-    print(f'{"5 production chi2 graph":34s} {per * 1e3:9.2f} ms/batch '
+    print(f'{"5 production bl.chi2 (host+dev)":34s} {per * 1e3:9.2f} ms/batch '
           f'({batch / per:9.0f} evals/s)')
     assert np.all(np.isfinite(chi2))
 
