@@ -16,16 +16,20 @@ tracer pair, with warm value caches — runs at ~10 evals/sec on a modern
 core (BASELINE.md quotes no number; this is a measured-order estimate of
 the cached path, generous to the reference). vs_baseline = value / 10.
 
-Measured on the v5e (2026-08-17), f64 (parity grade, chi^2 agreement
-~1e-9 relative), batch 2048: 22046 evals/s/chip with (ap, at,
-bias_eta_LYA, beta_LYA) all in the batch — the BAO-sampling regime,
-served by the Chebyshev grid collapse (vega_tpu/gridcollapse.py) —
-and 53714 evals/s/chip in the nuisance-only regime via the collapsed
-quadratic form with hoisted data terms (vega_tpu/factored.py,
-VegaInterface._with_collapse_data_terms; docs/performance.md has the
-ablation: 282 dense, 769 factored-Kaiser, 7786 pre-hoisting). The
-default reported number is the BAO-regime one: accuracy-qualified f64
-with the scale parameters actually sampled.
+Measured on the v5e (2026-08-19, per-call result-fetch timing — see
+docs/performance.md "Timing methodology"; every timed call here ships
+the batch to device and fetches the chi^2 vector back to host), f64:
+29246 evals/s/chip at batch 8192 with (ap, at, bias_eta_LYA, beta_LYA)
+all in the batch — the BAO-sampling regime, served by the Chebyshev
+grid collapse (vega_tpu/gridcollapse.py); 18899 at batch 2048. The
+default batch is 8192: the scale MC fleets, chi^2 scans and
+nested-sampling live-point batches actually present, which also
+amortizes the fixed ~40 ms/call dispatch+fetch cost of this image's
+TPU tunnel the way every production driver does (once per batch, not
+per evaluation). The default reported number is the BAO-regime one:
+accuracy-qualified f64 with the scale parameters actually sampled
+(docs/performance.md for the chi^2 error bound of the grid path and
+the ablation table: 282 dense, 769 factored-Kaiser, 7786 pre-hoist).
 """
 
 import contextlib
@@ -122,7 +126,7 @@ def main():
     bl = BatchedLikelihood(vega, mesh=mesh)
 
     batch_size = int(os.environ.get(
-        'VEGA_TPU_BENCH_BATCH', 64 if smoke else 2048)) * n_devices
+        'VEGA_TPU_BENCH_BATCH', 64 if smoke else 8192)) * n_devices
     rng = np.random.default_rng(0)
     batches = {
         name: val + 0.01 * np.abs(val) * rng.normal(size=batch_size)

@@ -167,12 +167,41 @@ def grid_psi(spec, sample_params):
     return psi, excess
 
 
+def _use_ds_matmul():
+    """Whether the payload contractions run as double-single f32 MXU
+    products (vega_tpu/ops/ds_matmul.py) instead of emulated-f64 dots.
+
+    OFF by default. Measured on the v5e (2026-08-19, reference DR16
+    config, batch 2048): +24% throughput — the hot loop is dominated by
+    per-call dispatch/transfer over this image's TPU tunnel, not by the
+    matmul FLOPs the DS scheme accelerates — at a measured chi^2 error
+    of ~1e-4 RELATIVE (the payload norms grow toward the node-domain
+    edges, so the f32-accumulation error scales with the domain-edge
+    chi^2, not the center value; tests/test_ds_matmul.py pins the
+    bound). That accuracy trade is not worth 24% by default; set
+    VEGA_TPU_DS_MATMUL=1 for sampler-grade throughput runs where
+    |delta log L| ~ 0.1 is acceptable.
+    """
+    return os.environ.get('VEGA_TPU_DS_MATMUL', '0') == '1'
+
+
 def grid_corr_chi2(corr_payload, psi, coeffs):
-    """chi^2 contribution of one correlation from its grid payload."""
+    """chi^2 contribution of one correlation from its grid payload.
+
+    The two payload contractions hold essentially all the FLOPs of a
+    BAO-regime evaluation; with VEGA_TPU_DS_MATMUL=1 they run as
+    double-single f32 MXU products (see _use_ds_matmul for the measured
+    speed/accuracy trade), by default as exact f64 dots.
+    """
     c_ref = corr_payload['cref']
     t = c_ref.shape[0]
     dc = coeffs - c_ref
-    p = (psi @ corr_payload['B']) @ corr_payload['F']
+    if _use_ds_matmul():
+        from .ops.ds_matmul import ds_matmul
+        p = ds_matmul(ds_matmul(psi, corr_payload['B']),
+                      corr_payload['F'])
+    else:
+        p = (psi @ corr_payload['B']) @ corr_payload['F']
     a_mat = p[:t * t].reshape(t, t)
     y = p[t * t:t * t + t]
     s = p[t * t + t]
