@@ -10,11 +10,15 @@ configuration); otherwise a synthetic auto+cross setup of the same shape.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference (andreicuceu/vega) evaluates the same
-4-correlation chi^2 in pure numpy/scipy on a single core. Its hot loop —
-Legendre projections, 4+ FFTLogs, cubic interpolation and sparse dots per
-tracer pair, with warm value caches — runs at ~10 evals/sec on a modern
-core (BASELINE.md quotes no number; this is a measured-order estimate of
-the cached path, generous to the reference). vs_baseline = value / 10.
+4-correlation chi^2 in pure numpy/scipy on a single core. MEASURED on
+this host by driving the live reference through the dependency shims
+(benchmarks/reference_baseline.py; the reference publishes no number,
+BASELINE.md): 1.15 evals/s nuisance-only (warm caches), 1.17 evals/s
+with (ap, at) varied — the two regimes are equal because varying
+beta_LYA busts the metal cache either way. The divisor is the FASTER
+of the two regimes from benchmarks/reference_baseline.json (generous
+to the reference), falling back to a conservative 10 evals/s if the
+measurement file is missing.
 
 Measured on the v5e (2026-08-19, per-call result-fetch timing — see
 docs/performance.md "Timing methodology"; every timed call here ships
@@ -38,7 +42,19 @@ import os
 import sys
 import time
 
-REFERENCE_EVALS_PER_SEC = 10.0
+def reference_evals_per_sec():
+    """Measured single-core throughput of the live reference on this
+    host (benchmarks/reference_baseline.py), the faster of its two
+    regimes; conservative 10 evals/s fallback when unmeasured."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'benchmarks', 'reference_baseline.json')
+    try:
+        with open(path) as fh:
+            meas = json.load(fh)
+        return max(meas['nuisance_only']['evals_per_sec'],
+                   meas['bao_sampled']['evals_per_sec'])
+    except (OSError, KeyError, ValueError):
+        return 10.0
 
 
 def main():
@@ -158,7 +174,7 @@ def main():
                 f'{n_devices} chip(s), compile={compile_time:.1f}s'
                 f'{device_fallback})',
         'vs_baseline': round(evals_per_sec_per_chip
-                             / REFERENCE_EVALS_PER_SEC, 3),
+                             / reference_evals_per_sec(), 3),
     }
     print(json.dumps(result))
     return 0
