@@ -44,8 +44,11 @@ def test_ds_matmul_accuracy():
         b = rng.normal(size=(k, n))
         ref = a @ b
         out = np.asarray(ds_matmul(a, b))
-        # f32 accumulation error, norm-scaled; 1e-6 is ~17x 2^-24
-        assert _norm_scaled_err(out, ref) < 1e-6
+        # worst-case f32 accumulation model: sqrt(min(k, chunk)) * 2^-24
+        # (~1.35e-6 at chunk=512) with a ~1.5x safety factor for
+        # backend-dependent accumulation order
+        bound = 1.5 * np.sqrt(min(k, 512)) * 2.0 ** -24
+        assert _norm_scaled_err(out, ref) < bound
 
 
 def test_ds_matmul_chunking_consistency():
@@ -55,7 +58,9 @@ def test_ds_matmul_chunking_consistency():
     ref = a @ b
     for chunk in (128, 512, 4096):
         out = np.asarray(ds_matmul(a, b, chunk=chunk))
-        assert _norm_scaled_err(out, ref) < 1e-6
+        # sqrt(min(k, chunk)) * 2^-24 with a ~1.5x safety factor
+        assert _norm_scaled_err(out, ref) < \
+            1.5 * np.sqrt(min(1000, chunk)) * 2.0 ** -24
 
 
 def test_ds_matmul_vector_and_vmap():
@@ -77,6 +82,66 @@ def test_ds_matmul_f32_passthrough():
     assert out.dtype == np.float32
     assert _norm_scaled_err(np.asarray(out), a.astype(np.float64)
                             @ b.astype(np.float64)) < 1e-6
+
+
+def test_ds_matmul_mixed_dtype_upcasts():
+    """One f64 + one f32 operand must take the f64 DS path (returning
+    f64 at DS accuracy), not silently degrade to the f32 passthrough."""
+    rng = np.random.default_rng(4)
+    a64 = rng.normal(size=(8, 400))
+    b32 = rng.normal(size=(400, 16)).astype(np.float32)
+    out = ds_matmul(jax.numpy.asarray(a64), jax.numpy.asarray(b32))
+    assert out.dtype == np.float64
+    ref = a64 @ b32.astype(np.float64)
+    assert _norm_scaled_err(np.asarray(out), ref) < \
+        1.5 * np.sqrt(400) * 2.0 ** -24
+    # and the mirrored order
+    out2 = ds_matmul(jax.numpy.asarray(b32.T), jax.numpy.asarray(a64.T))
+    assert out2.dtype == np.float64
+
+
+@pytest.mark.slow
+def test_use_ds_matmul_resolved_at_construction(monkeypatch):
+    """The DS-matmul knob is resolved ONCE when the VegaInterface is
+    built ([control] ds-matmul, else VEGA_TPU_DS_MATMUL): later env
+    flips are ignored, the property is settable until the first grid
+    chi^2 graph compiles, and changing it afterwards raises."""
+    from vega_tpu.testing import make_synthetic_dataset
+    from vega_tpu.vega_interface import VegaInterface
+
+    workdir = Path(tempfile.mkdtemp(prefix='vega_tpu_dsopt_'))
+    sample = {'ap': 'True', 'at': 'True',
+              'bias_LYA': 'True', 'beta_LYA': 'True'}
+    main_path = make_synthetic_dataset(workdir, cross=False, sample=sample)
+
+    monkeypatch.setenv('VEGA_TPU_DS_MATMUL', '1')
+    vega = VegaInterface(main_path)
+    assert vega.use_ds_matmul is True
+    # env flips after construction are ignored by design
+    monkeypatch.setenv('VEGA_TPU_DS_MATMUL', '0')
+    assert vega.use_ds_matmul is True
+    # settable before any grid graph has compiled
+    vega.use_ds_matmul = False
+    assert vega.use_ds_matmul is False
+
+    # [control] ds-matmul overrides the environment
+    workdir2 = Path(tempfile.mkdtemp(prefix='vega_tpu_dsopt2_'))
+    monkeypatch.setenv('VEGA_TPU_DS_MATMUL', '1')
+    main_path2 = make_synthetic_dataset(
+        workdir2, cross=False, sample=sample,
+        extra_control='ds-matmul = False\n')
+    vega2 = VegaInterface(main_path2)
+    assert vega2.use_ds_matmul is False
+
+    # after a grid chi^2 evaluation the setting is baked into compiled
+    # graphs: changing it raises, re-asserting the same value is fine
+    point = {'ap': 1.01, 'at': 0.99, 'bias_LYA': -0.117,
+             'beta_LYA': 1.67}
+    chi2 = vega2.chi2(point)
+    assert np.isfinite(chi2)
+    vega2.use_ds_matmul = False      # no-op stays allowed
+    with pytest.raises(RuntimeError, match='use_ds_matmul'):
+        vega2.use_ds_matmul = True
 
 
 @pytest.mark.slow

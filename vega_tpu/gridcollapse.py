@@ -167,36 +167,47 @@ def grid_psi(spec, sample_params):
     return psi, excess
 
 
-def _use_ds_matmul():
-    """Whether the payload contractions run as double-single f32 MXU
-    products (vega_tpu/ops/ds_matmul.py) instead of emulated-f64 dots.
+def ds_matmul_default():
+    """Construction-time default for the double-single MXU payload
+    contractions (vega_tpu/ops/ds_matmul.py): OFF unless
+    VEGA_TPU_DS_MATMUL=1 is set when the VegaInterface is built, or
+    [control] ds-matmul = True. This function is called ONCE at
+    interface construction (never inside a traced graph), so flipping
+    the env var afterwards has no effect — toggle
+    ``VegaInterface.use_ds_matmul`` instead, which raises if a grid
+    chi^2 graph has already been compiled with the other setting.
 
-    OFF by default. Measured on the v5e (2026-08-19, reference DR16
-    config, batch 2048): +24% throughput — the hot loop is dominated by
-    per-call dispatch/transfer over this image's TPU tunnel, not by the
-    matmul FLOPs the DS scheme accelerates — at a measured chi^2 error
-    of ~1e-4 RELATIVE (the payload norms grow toward the node-domain
+    Measured on the v5e (2026-08-19, reference DR16 config, batch
+    2048): +24% throughput — the hot loop is dominated by per-call
+    dispatch/transfer over this image's TPU tunnel, not by the matmul
+    FLOPs the DS scheme accelerates — at a measured chi^2 error of
+    ~1e-4 RELATIVE (the payload norms grow toward the node-domain
     edges, so the f32-accumulation error scales with the domain-edge
     chi^2, not the center value; tests/test_ds_matmul.py pins the
-    bound). That accuracy trade is not worth 24% by default; set
-    VEGA_TPU_DS_MATMUL=1 for sampler-grade throughput runs where
-    |delta log L| ~ 0.1 is acceptable.
+    bound). That accuracy trade is not worth 24% by default; enable it
+    for sampler-grade throughput runs where |delta log L| ~ 0.1 is
+    acceptable. Gradient / Hessian graphs used by the minimizer always
+    take the exact f64 path regardless (``exact_grid=True`` in
+    VegaInterface's derivative providers).
     """
     return os.environ.get('VEGA_TPU_DS_MATMUL', '0') == '1'
 
 
-def grid_corr_chi2(corr_payload, psi, coeffs):
+def grid_corr_chi2(corr_payload, psi, coeffs, use_ds=False):
     """chi^2 contribution of one correlation from its grid payload.
 
     The two payload contractions hold essentially all the FLOPs of a
-    BAO-regime evaluation; with VEGA_TPU_DS_MATMUL=1 they run as
-    double-single f32 MXU products (see _use_ds_matmul for the measured
-    speed/accuracy trade), by default as exact f64 dots.
+    BAO-regime evaluation; with ``use_ds=True`` they run as
+    double-single f32 MXU products (see ds_matmul_default for the
+    measured speed/accuracy trade), by default as exact f64 dots.
+    ``use_ds`` is a trace-time Python bool — the caller
+    (VegaInterface._chi2_graph) resolves it from the interface-level
+    setting, never from the environment inside the trace.
     """
     c_ref = corr_payload['cref']
     t = c_ref.shape[0]
     dc = coeffs - c_ref
-    if _use_ds_matmul():
+    if use_ds:
         from .ops.ds_matmul import ds_matmul
         p = ds_matmul(ds_matmul(psi, corr_payload['B']),
                       corr_payload['F'])

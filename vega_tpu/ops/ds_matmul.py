@@ -37,7 +37,8 @@ vs the ~1e-6-relative Chebyshev ripple of the grid path itself. And
 because the production hot loop is dominated by per-call dispatch over
 this image's TPU tunnel rather than matmul FLOPs, the measured win is
 +24% (v5e, batch 2048), not the ~100x the FLOP ratio would suggest.
-See _use_ds_matmul in gridcollapse.py for the control.
+See ds_matmul_default in gridcollapse.py and
+VegaInterface.use_ds_matmul for the control.
 
 Where it is NOT used: the exact collapse (nuisance-only parity path),
 the dense pipeline, and every host-side f64 reduction — those keep
@@ -79,9 +80,16 @@ def ds_matmul(a, b, chunk=512):
     Returns f64. K is chunked so each f32 accumulation chain stays
     short; chunk partial sums are added in f64.
     """
-    if a.dtype != jnp.float64 or b.dtype != jnp.float64:
+    if a.dtype != jnp.float64 and b.dtype != jnp.float64:
         # f32 inputs (VEGA_TPU_X64=0 mode): one HIGHEST-precision pass.
         return _f32_dot(a, b).astype(b.dtype)
+    if a.dtype != jnp.float64 or b.dtype != jnp.float64:
+        # Mixed f64/f32: upcast the f32 operand so the DS path runs and
+        # the result honours the f64 operand (its `lo` split is exactly
+        # zero, so this costs one matmul of zeros the compiler can DCE,
+        # not silent precision loss).
+        a = a.astype(jnp.float64)
+        b = b.astype(jnp.float64)
     k = a.shape[-1]
     ah, al = _split(a)
     bh, bl = _split(b)

@@ -77,6 +77,16 @@ class VegaInterface:
         self.marginalize_in_fit = (self.main_config['control'].getboolean(
             'marginalize-in-fit', False)
             if 'control' in self.main_config else False)
+        # Double-single MXU grid-payload contractions: resolved ONCE at
+        # construction ([control] ds-matmul, else VEGA_TPU_DS_MATMUL as
+        # read now); later env flips are ignored by design — use the
+        # `use_ds_matmul` property, which raises once a grid chi^2
+        # graph has been compiled with the other setting.
+        from .gridcollapse import ds_matmul_default
+        ds = (self.main_config['control'].getboolean('ds-matmul', None)
+              if 'control' in self.main_config else None)
+        self._use_ds_matmul = ds_matmul_default() if ds is None else bool(ds)
+        self._ds_matmul_traced = False
         del control
 
         # Correlation items
@@ -328,9 +338,38 @@ class VegaInterface:
             c0s[name] = fxi.coeff_vector()
         return payload, c0s, bad
 
+    @property
+    def use_ds_matmul(self):
+        """Whether grid-collapse payload contractions run as
+        double-single f32 MXU products (~1e-4 relative chi^2 error,
+        +24% v5e throughput) instead of exact emulated-f64 dots.
+        Resolved once at construction from [control] ds-matmul /
+        VEGA_TPU_DS_MATMUL; settable until the first grid chi^2 graph
+        compiles, after which a change raises (the compiled graphs
+        bake the choice in). Derivative graphs used for fits always
+        take the exact path."""
+        return self._use_ds_matmul
+
+    @use_ds_matmul.setter
+    def use_ds_matmul(self, value):
+        value = bool(value)
+        if value != self._use_ds_matmul and self._ds_matmul_traced:
+            raise RuntimeError(
+                'use_ds_matmul cannot change after a grid chi^2 graph '
+                'has been compiled: the already-jitted graphs bake the '
+                'setting in. Set it (or [control] ds-matmul / '
+                'VEGA_TPU_DS_MATMUL) before the first evaluation, or '
+                'build a fresh VegaInterface.')
+        self._use_ds_matmul = value
+
     def _chi2_graph(self, sample_params, data_vecs, cov_scales,
-                    collapsed=None):
+                    collapsed=None, exact_grid=False):
         """Traceable chi^2 of the sampled parameters.
+
+        exact_grid: force the exact f64 grid-payload contractions even
+        when `use_ds_matmul` is on — set by the gradient / Hessian
+        providers so fits never differentiate the reduced-precision
+        double-single path.
 
         data_vecs: dict name -> masked data vector (or the concatenated
         vector under the '_global' key when a global covariance is used).
@@ -427,8 +466,13 @@ class VegaInterface:
                         assert collapsed[name]['cref'].shape == c.shape, (
                             'grid-collapse tensors do not match the '
                             'factored term structure — stale grid cache')
+                        if not exact_grid:
+                            # exact-grid (derivative) graphs never bake
+                            # the DS setting in, so they don't lock it
+                            self._ds_matmul_traced = True
                         chi2_corr = grid_corr_chi2(
-                            collapsed[name], grid_psi_vec, c)
+                            collapsed[name], grid_psi_vec, c,
+                            use_ds=self._use_ds_matmul and not exact_grid)
                     elif collapsed is not None and name in collapsed:
                         w_mat = collapsed[name]['W']
                         a_mat = collapsed[name]['A']
@@ -501,10 +545,11 @@ class VegaInterface:
         return chi2
 
     def _chi2_graph_bound(self, sample_params, data_vecs, cov_scales,
-                          statics, collapsed=None):
+                          statics, collapsed=None, exact_grid=False):
         with STATICS.bind(statics):
             return self._chi2_graph(sample_params, data_vecs, cov_scales,
-                                    collapsed=collapsed)
+                                    collapsed=collapsed,
+                                    exact_grid=exact_grid)
 
     def get_collapsed(self, sample_names, with_data_terms=True):
         """Device-resident basis-collapse tensors for one sampled-
@@ -770,7 +815,8 @@ class VegaInterface:
             self._ensure_static_refs()
             self._jit_chi2_valgrad = jax.jit(jax.value_and_grad(
                 lambda p, dv, cs, st, co:
-                self._chi2_graph_bound(p, dv, cs, st, co)[0]))
+                self._chi2_graph_bound(p, dv, cs, st, co,
+                                       exact_grid=True)[0]))
         collapsed = self.get_collapsed(params.keys())
         device_ctx, statics, co, data_vecs = self._serial_backend(collapsed)
         with device_ctx:
@@ -787,7 +833,8 @@ class VegaInterface:
             self._ensure_static_refs()
             self._jit_chi2_grad = jax.jit(jax.grad(
                 lambda p, dv, cs, st, co:
-                self._chi2_graph_bound(p, dv, cs, st, co)[0]))
+                self._chi2_graph_bound(p, dv, cs, st, co,
+                                       exact_grid=True)[0]))
         collapsed = self.get_collapsed(params.keys())
         device_ctx, statics, co, data_vecs = self._serial_backend(collapsed)
         with device_ctx:
@@ -811,7 +858,8 @@ class VegaInterface:
             self._ensure_static_refs()
 
             def fn(p, dv, cs, st, co):
-                return self._chi2_graph_bound(p, dv, cs, st, co)[0]
+                return self._chi2_graph_bound(p, dv, cs, st, co,
+                                              exact_grid=True)[0]
 
             def fused(p, dv, cs, st, co):
                 val, grads = jax.value_and_grad(fn)(p, dv, cs, st, co)
@@ -845,7 +893,8 @@ class VegaInterface:
         if key not in self._hess_cache:
             def fn(free_p, fixed_p, dv, cs, statics, co):
                 return self._chi2_graph_bound({**fixed_p, **free_p}, dv,
-                                              cs, statics, co)[0]
+                                              cs, statics, co,
+                                              exact_grid=True)[0]
             self._hess_cache[key] = jax.jit(jax.hessian(fn))
 
         collapsed = self.get_collapsed(params.keys())
