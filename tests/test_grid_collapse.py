@@ -98,6 +98,26 @@ def test_batched_matches_serial_grid(grid_setup):
     np.testing.assert_allclose(batched, serial, rtol=1e-12)
 
 
+def test_mesh_sharded_matches_serial_grid(grid_setup):
+    """The MESH-SHARDED grid path (BatchedLikelihood over the 8-device
+    virtual CPU mesh — the production multi-chip configuration of the
+    headline BAO regime) equals the serial grid path. Pure SPMD over
+    the batch axis: each device contracts its shard against the
+    replicated grid payload, so the values are bitwise-reassociation
+    equal, not merely close."""
+    from vega_tpu.parallel import BatchedLikelihood, make_device_mesh
+
+    vega, _ = grid_setup
+    assert '__grid__' in vega.get_collapsed(NAMES)
+    mesh = make_device_mesh(8)
+    assert mesh.devices.size == 8
+    pts = _random_points(np.random.default_rng(9), 24)
+    serial = np.array([vega.chi2(p) for p in pts])
+    batches = {n: np.array([p[n] for p in pts]) for n in NAMES}
+    sharded = BatchedLikelihood(vega, mesh=mesh).chi2(batches)
+    np.testing.assert_allclose(sharded, serial, rtol=1e-12)
+
+
 def test_gradient_through_grid(grid_setup):
     """Exact jax gradients flow through the Chebyshev interpolation and
     agree with finite differences of the grid chi^2 itself."""
