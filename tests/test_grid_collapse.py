@@ -64,9 +64,20 @@ def test_payload_structure(grid_setup):
     corrs = [k for k in payload if k != '__grid__']
     assert sorted(corrs) == sorted(vega.corr_items)
     for name in corrs:
-        n_nodes, rank = payload[name]['B'].shape
+        n_modes, rank = payload[name]['B'].shape
         t = payload[name]['cref'].shape[0]
-        assert n_nodes == spec.n_nodes
+        # error-budgeted mode truncation indexes the retained modes via
+        # 'modes'. On THIS config (near-noiseless synthetic data, domain
+        # -corner chi^2 ~ 1e8) the validated criterion legitimately
+        # keeps everything — the budget is honored, not assumed; the
+        # reference-config accuracy test measures the actual cut
+        # (tests/test_grid_reference_accuracy.py).
+        assert 1 <= n_modes <= spec.n_nodes
+        modes = payload[name]['modes']
+        assert modes.shape == (len(spec.names), n_modes)
+        assert modes.dtype == np.int32
+        for d, deg in enumerate(spec.degrees):
+            assert modes[d].min() >= 0 and modes[d].max() < deg
         assert payload[name]['F'].shape == (rank, t * t + t + 1)
 
 

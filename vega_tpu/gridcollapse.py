@@ -27,10 +27,14 @@ row-safe), Chebyshev-transforms the node tensors, and compresses the
 then costs:
 
     t_d  = Chebyshev values of the normalized g_d       (sum(Q_d) flops)
-    psi  = outer(t_1, ..., t_D).ravel()                 (N = prod(Q_d))
-    phi  = psi @ B                                      (N x R)
+    psi  = prod_d t_d[modes[d]]                         (M kept modes)
+    phi  = psi @ B                                      (M x R)
     p    = phi @ F                                      (R x (T^2+T+1))
     chi2 = s - 2 dc.y + dc.(A dc)                       (T^2)
+
+where M is the number of RETAINED tensor-product Chebyshev modes after
+the error-budgeted truncation (see build_grid_payload: the transformed
+spectrum decays fast, so M is a few hundred even when prod(Q_d) = 4096)
 
 — a few hundred kFLOP instead of the ~73 MFLOP dense path (spline +
 distortion matmul + masked-covariance quadratic form per evaluation),
@@ -146,25 +150,40 @@ def cheb_values(x, n):
 GRID_WALL_CHI2 = 1e8
 
 
-def grid_psi(spec, sample_params):
-    """Chebyshev tensor-basis values for one evaluation point.
+def grid_tvecs(spec, sample_params):
+    """Per-dimension Chebyshev basis values for one evaluation point.
 
-    Returns (psi, excess): psi is the (N,) coefficient-space basis
-    vector (kron of the per-dimension Chebyshev value vectors, C order
-    matching the node sweep) evaluated at the domain-clamped point;
-    excess is the summed squared normalized distance outside the domain
-    (0 inside), which the chi^2 graph turns into the smooth
-    GRID_WALL_CHI2 boundary wall.
+    Returns (tvecs, excess): tvecs is a tuple of per-dimension value
+    vectors T_0..T_{deg-1} evaluated at the domain-clamped normalized
+    point; excess is the summed squared normalized distance outside the
+    domain (0 inside), which the chi^2 graph turns into the smooth
+    GRID_WALL_CHI2 boundary wall. The full tensor basis is never
+    materialized per evaluation — each correlation gathers only its
+    retained modes (psi_from_modes), so the per-eval basis cost is
+    O(sum(deg) + n_kept_modes) instead of O(prod(deg)).
     """
-    psi = None
+    tvecs = []
     excess = jnp.asarray(0.0)
     for name, lo, hi, deg in zip(spec.names, spec.lo, spec.hi,
                                  spec.degrees):
         x = (2.0 * sample_params[name] - (lo + hi)) / (hi - lo)
         excess = excess + jnp.maximum(jnp.abs(x) - 1.0, 0.0) ** 2
-        t = cheb_values(jnp.clip(x, -1.0, 1.0), deg)
-        psi = t if psi is None else (psi[:, None] * t[None, :]).ravel()
-    return psi, excess
+        tvecs.append(cheb_values(jnp.clip(x, -1.0, 1.0), deg))
+    return tuple(tvecs), excess
+
+
+def psi_from_modes(tvecs, modes):
+    """Tensor-basis values of the retained Chebyshev modes.
+
+    modes is an int32 (D, M) array of per-dimension mode indices
+    (unraveled rows of the node tensor); returns the (M,) vector
+    psi_m = prod_d T_{modes[d, m]}(x_d) — D gathers of M elements each
+    instead of the N = prod(deg) outer-product kron.
+    """
+    psi = tvecs[0][modes[0]]
+    for d in range(1, len(tvecs)):
+        psi = psi * tvecs[d][modes[d]]
+    return psi
 
 
 def ds_matmul_default():
@@ -193,7 +212,7 @@ def ds_matmul_default():
     return os.environ.get('VEGA_TPU_DS_MATMUL', '0') == '1'
 
 
-def grid_corr_chi2(corr_payload, psi, coeffs, use_ds=False):
+def grid_corr_chi2(corr_payload, tvecs, coeffs, use_ds=False):
     """chi^2 contribution of one correlation from its grid payload.
 
     The two payload contractions hold essentially all the FLOPs of a
@@ -207,6 +226,7 @@ def grid_corr_chi2(corr_payload, psi, coeffs, use_ds=False):
     c_ref = corr_payload['cref']
     t = c_ref.shape[0]
     dc = coeffs - c_ref
+    psi = psi_from_modes(tvecs, corr_payload['modes'])
     if use_ds:
         from .ops.ds_matmul import ds_matmul
         p = ds_matmul(ds_matmul(psi, corr_payload['B']),
@@ -219,18 +239,102 @@ def grid_corr_chi2(corr_payload, psi, coeffs, use_ds=False):
     return s - 2.0 * (dc @ y) + dc @ (a_mat @ dc)
 
 
+def _probe_psi(spec, n_probe, rng):
+    """(n_probe, N) tensor-product Chebyshev basis values at a uniform
+    probe cloud over the normalized domain (host numpy)."""
+    psi = np.ones((n_probe, 1))
+    for deg in spec.degrees:
+        x = rng.uniform(-1.0, 1.0, size=n_probe)
+        tv = np.empty((n_probe, deg))
+        tv[:, 0] = 1.0
+        if deg > 1:
+            tv[:, 1] = x
+        for k in range(2, deg):
+            tv[:, k] = 2.0 * x * tv[:, k - 1] - tv[:, k - 2]
+        psi = (psi[:, :, None] * tv[:, None, :]).reshape(n_probe, -1)
+    return psi
+
+
+def _select_modes(coef, t, spec, mode_budget):
+    """Retained-mode indices (ascending) for one correlation's Chebyshev
+    coefficient matrix ``coef`` ((n_nodes, t*t + t + 1)).
+
+    Modes are ranked by payload weight and the cutoff is VALIDATED: the
+    smallest retained set whose measured pointwise interpolant error at
+    a uniform probe cloud stays within ``mode_budget``, where the error
+    at a probe x bounds the chi^2 error over |dc| <= 1 as
+    |ds(x)| + 2 ||dy(x)|| + ||dA(x)||_F (the Frobenius norm via a
+    Johnson-Lindenstrauss sketch). On payloads whose spectrum has a
+    coherent tail (e.g. near-noiseless data where the domain-corner
+    chi^2 reaches 1e8) this keeps everything — the budget is honored,
+    not assumed.
+    """
+    n_nodes = coef.shape[0]
+    if mode_budget <= 0 or n_nodes <= 1:
+        return np.arange(n_nodes)
+    a_coef = coef[:, :t * t]
+    y_coef = coef[:, t * t:t * t + t]
+    s_coef = coef[:, t * t + t]
+    weight = (np.abs(s_coef) + 2.0 * np.linalg.norm(y_coef, axis=1)
+              + np.linalg.norm(a_coef, axis=1))
+    order = np.argsort(-weight)                 # strongest first
+
+    n_probe = int(os.environ.get('VEGA_TPU_GRID_PROBES', 512))
+    rng = np.random.default_rng(20260819)
+    psi = _probe_psi(spec, n_probe, rng)
+    n_sketch = min(16, t * t)
+    sketch = rng.normal(size=(t * t, n_sketch)) / np.sqrt(n_sketch)
+    sens_cols = np.concatenate(
+        [s_coef[:, None], 2.0 * y_coef, a_coef @ sketch], axis=1)
+
+    def max_err(n_keep):
+        dropped = order[n_keep:]
+        if dropped.size == 0:
+            return 0.0
+        delta = psi[:, dropped] @ sens_cols[dropped]
+        return float(np.max(
+            np.abs(delta[:, 0])
+            + np.linalg.norm(delta[:, 1:1 + t], axis=1)
+            + np.linalg.norm(delta[:, 1 + t:], axis=1)))
+
+    lo, hi = 1, n_nodes
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if max_err(mid) <= mode_budget:
+            hi = mid
+        else:
+            lo = mid + 1
+    return np.sort(order[:lo])
+
+
 # --------------------------------------------------------------------------
 # The node sweep (host side, one jitted run)
 # --------------------------------------------------------------------------
 def build_grid_payload(vega, sample_names, grid_names, spec,
-                       sweep_chunk=None, svd_tol=None):
+                       sweep_chunk=None, svd_tol=None, mode_budget=None):
     """Run the collapse sweep over the node grid and build the
     per-correlation payloads.
 
-    Returns a dict {'__grid__': spec, corr_name: {'B', 'F', 'cref'}}
-    (numpy host arrays; callers ship them as jit arguments). Correlations
-    whose model does not stay factored under the grid trace are absent —
-    the chi^2 graph evaluates those densely with the true traced values.
+    Returns a dict {'__grid__': spec, corr_name: {'B', 'F', 'cref',
+    'modes'}} (numpy host arrays; callers ship them as jit arguments).
+    Correlations whose model does not stay factored under the grid trace
+    are absent — the chi^2 graph evaluates those densely with the true
+    traced values.
+
+    mode_budget: per-correlation ABSOLUTE chi^2 error budget for
+    Chebyshev mode truncation (_select_modes). The transformed payload
+    spectrum decays fast on realistic data (the quadratic form is
+    smooth in the scale parameters), so most of the prod(degrees)
+    tensor-product modes contribute nothing pointwise: modes are ranked
+    by weight and the cutoff is chosen by VALIDATING the truncated
+    interpolant against the full one at a probe cloud, keeping the
+    measured error within the budget. This cuts the per-eval psi @ B
+    contraction from prod(degrees) rows to the retained modes, making
+    the wide production domain cheap per evaluation (see
+    docs/performance.md for retained counts measured on the reference
+    DR16-subset config). Default 2e-4 (env VEGA_TPU_GRID_MODE_BUDGET /
+    [control] grid-mode-budget), subdominant to the ~4e-3
+    node-convergence error; 0 disables truncation.
     """
     from .factored import grid_trace
     from .statics import STATICS
@@ -239,6 +343,9 @@ def build_grid_payload(vega, sample_names, grid_names, spec,
         sweep_chunk = int(os.environ.get('VEGA_TPU_GRID_SWEEP_CHUNK', 32))
     if svd_tol is None:
         svd_tol = float(os.environ.get('VEGA_TPU_GRID_SVD_TOL', 1e-12))
+    if mode_budget is None:
+        mode_budget = float(os.environ.get(
+            'VEGA_TPU_GRID_MODE_BUDGET', 2e-4))
 
     vega._ensure_static_refs()
 
@@ -346,7 +453,21 @@ def build_grid_payload(vega, sample_names, grid_names, spec,
                 np.tensordot(mat, coef, axes=(1, axis)), 0, axis)
         coef = coef.reshape(n_nodes, -1)
 
-        # SVD compression across the node-coefficient axis
+        # Mode truncation, VALIDATED: rank tensor-product Chebyshev
+        # modes by payload weight, then choose the smallest retained set
+        # whose measured pointwise interpolant error at a probe cloud
+        # over the domain stays within the budget. Worst-case coefficient
+        # bounds are useless here (the tail coefficients encode the
+        # domain-corner chi^2 blow-up coherently and cancel by factors
+        # of 1e3+ pointwise), so the cutoff is chosen by direct
+        # evaluation: err(x) = psi_dropped(x) @ coef_dropped is exact
+        # linear algebra on data already in hand.
+        kept = _select_modes(coef, t, spec, mode_budget)
+        coef = coef[kept]
+        modes = np.stack(np.unravel_index(kept, spec.degrees)
+                         ).astype(np.int32)               # (D, M)
+
+        # SVD compression across the retained-mode axis
         u, s, vt = np.linalg.svd(coef, full_matrices=False)
         if s.size and s[0] > 0:
             tail = np.sqrt(np.cumsum(s[::-1] ** 2))[::-1]
@@ -358,5 +479,6 @@ def build_grid_payload(vega, sample_names, grid_names, spec,
             'B': np.ascontiguousarray(u[:, :rank]),
             'F': np.ascontiguousarray(s[:rank, None] * vt[:rank]),
             'cref': c0,
+            'modes': modes,
         }
     return out

@@ -393,10 +393,10 @@ class VegaInterface:
         grid_spec = collapsed.get('__grid__') if collapsed else None
         grid_psi_vec = grid_wall = None
         if grid_spec is not None:
-            from .gridcollapse import GRID_WALL_CHI2, grid_psi
+            from .gridcollapse import GRID_WALL_CHI2, grid_tvecs
             # psi lives in SAMPLED space: the sweep fed node values in as
             # sampled parameters (blinding etc. applied inside each node)
-            grid_psi_vec, grid_excess = grid_psi(grid_spec, sample_params)
+            grid_psi_vec, grid_excess = grid_tvecs(grid_spec, sample_params)
             grid_wall = GRID_WALL_CHI2 * grid_excess
             # coefficient trace at the reference values: the sampled
             # grid parameters are replaced BEFORE the blinding transform
@@ -791,7 +791,10 @@ class VegaInterface:
             self._grid_cache[cache_key] = {}
             return {}
         self._ensure_static_refs()
-        payload = build_grid_payload(self, sorted(key), grid_names, spec)
+        mode_budget = self._control_get('grid-mode-budget')
+        payload = build_grid_payload(
+            self, sorted(key), grid_names, spec,
+            mode_budget=None if mode_budget is None else float(mode_budget))
         if len(payload) <= 1:       # only '__grid__': nothing factored
             payload = {}
         # host (numpy) payload cached; device copies via _device_collapsed
