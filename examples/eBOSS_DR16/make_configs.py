@@ -30,6 +30,16 @@ import argparse
 from pathlib import Path
 
 from vega_tpu.build_config import BuildConfig
+from vega_tpu.scripts.verify_dr16 import load_manifest
+
+# Data/metal file names come from the shipped SVN manifest
+# (vega_tpu/models/dr16_manifest.json — the names the reference's own
+# examples/eBOSS_DR16/*.ini quote for the public download), so the
+# generated configs always match what verify_dr16 validates.
+DR16_FILES = {
+    (info['corr'], info['kind']): fname
+    for fname, info in load_manifest()['files'].items()
+}
 
 # DR16 model options (reference: examples/eBOSS_DR16/lyalyaxlyalya.ini)
 DR16_OPTIONS = {
@@ -54,17 +64,25 @@ SKY_BB = {'bb1': 'add pre rp,rt 0:0:1 0:0:1 broadband_sky'}
 SAMPLED_BAO = {
     'ap': 'True', 'at': 'True',
     'bias_eta_LYA': 'True', 'beta_LYA': 'True',
-    'bias_hcd': 'True', 'beta_hcd': 'True',
 }
+# HCD parameters are sampled in the auto and combined fits only — the
+# reference's main_cross.ini does not sample them (the cross has no
+# HCD-damped auto spectra driving them).
+SAMPLED_HCD = {'bias_hcd': 'True', 'beta_hcd': 'True'}
 SAMPLED_METALS = {
     f'bias_eta_{m}': '-0.02 0. -0.003 0.01'
     for m in ['SiII(1260)', 'SiIII(1207)', 'SiII(1193)', 'SiII(1190)',
               'CIV(eff)']
 }
+# The cross-only fit samples neither beta_QSO nor the CIV bias
+# (reference: examples/eBOSS_DR16/main_cross.ini [sample]).
+SAMPLED_METALS_CROSS = {k: v for k, v in SAMPLED_METALS.items()
+                        if 'CIV' not in k}
 SAMPLED_CROSS = {
-    'beta_QSO': 'True', 'drp_QSO': 'True',
+    'drp_QSO': 'True',
     'sigma_velo_disp_lorentz_QSO': 'True',
 }
+SAMPLED_CROSS_COMBINED = dict(SAMPLED_CROSS, beta_QSO='True')
 SAMPLED_SKY = {
     'BB-{name}-0-broadband_sky-scale-sky': '0 0.5 0.01 0.1',
     'BB-{name}-0-broadband_sky-sigma-sky': '10 60 31. 0.1',
@@ -139,28 +157,23 @@ def main():
     out.mkdir(parents=True, exist_ok=True)
 
     correlations = {
-        'lyaxlya': corr_info(args.data_dir, 'lyaxlya',
-                             'cf_z_0_10-exp.fits',
-                             'metal_dmat_z_0_10.fits', False),
-        'lyaxlyb': corr_info(args.data_dir, 'lyaxlyb',
-                             'cf_z_0_10_lyb-exp.fits',
-                             'metal_dmat_z_0_10_lyb.fits', False),
-        'lyaxqso': corr_info(args.data_dir, 'lyaxqso',
-                             'xcf_z_0_10-exp.fits',
-                             'metal_xdmat_z_0_10.fits', True),
-        'lybxqso': corr_info(args.data_dir, 'lybxqso',
-                             'xcf_z_0_10_lyb-exp.fits',
-                             'metal_xdmat_z_0_10_lyb.fits', True),
+        name: corr_info(args.data_dir, name,
+                        DR16_FILES[(name, 'correlation')],
+                        DR16_FILES[(name, 'metal')],
+                        is_cross=name.endswith('xqso'))
+        for name in ('lyaxlya', 'lyaxlyb', 'lyaxqso', 'lybxqso')
     }
 
     fits = {
         'auto': ('lyaxlya_lyaxlyb',
-                 {**SAMPLED_BAO, **SAMPLED_METALS,
+                 {**SAMPLED_BAO, **SAMPLED_HCD, **SAMPLED_METALS,
                   **sky_params(['lyaxlya', 'lyaxlyb'])}),
         'cross': ('lyaxqso_lybxqso',
-                  {**SAMPLED_BAO, **SAMPLED_METALS, **SAMPLED_CROSS}),
+                  {**SAMPLED_BAO, **SAMPLED_METALS_CROSS,
+                   **SAMPLED_CROSS}),
         'combined': ('lyaxlya_lyaxlyb_lyaxqso_lybxqso',
-                     {**SAMPLED_BAO, **SAMPLED_METALS, **SAMPLED_CROSS,
+                     {**SAMPLED_BAO, **SAMPLED_HCD, **SAMPLED_METALS,
+                      **SAMPLED_CROSS_COMBINED,
                       **sky_params(['lyaxlya', 'lyaxlyb'])}),
     }
 
@@ -171,9 +184,11 @@ def main():
             'zeff': 2.334,
             'sample_params': sample,
             'priors': {k: v for k, v in PRIORS.items() if k in sample},
-            # the DR16 analysis samples bias_eta_LYA + beta_LYA
+            # the DR16 analysis samples bias_eta_LYA + beta_LYA for the
+            # forest and fixes bias_eta_QSO = 1 with beta_QSO floating
+            # (reference: examples/eBOSS_DR16/main_combined.ini:92-93)
             'bias_beta_config': {'LYA': 'bias_eta_beta',
-                                 'QSO': 'bias_bias_eta'},
+                                 'QSO': 'bias_eta_beta'},
         }
         main_path = builder.build(
             {k: dict(v) for k, v in correlations.items()}, fit_type,
