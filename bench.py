@@ -23,9 +23,14 @@ measurement file is missing.
 Measured on the v5e (2026-08-19, per-call result-fetch timing — see
 docs/performance.md "Timing methodology"; every timed call here ships
 the batch to device and fetches the chi^2 vector back to host), f64:
-29246 evals/s/chip at batch 8192 with (ap, at, bias_eta_LYA, beta_LYA)
+28169 evals/s/chip at batch 8192 with (ap, at, bias_eta_LYA, beta_LYA)
 all in the batch — the BAO-sampling regime, served by the Chebyshev
-grid collapse (vega_tpu/gridcollapse.py); 18899 at batch 2048. The
+grid collapse (vega_tpu/gridcollapse.py) AT THE SHIPPED PRODUCTION
+SETTINGS (+/-0.25 alpha domain, 32 nodes/dim; rounds 2-3 benched a
+narrowed +/-0.06/20-node domain — the validated mode truncation has
+since made the wide domain the CHEAPER one per eval, at measured
+max |delta chi^2| vs dense = 1.7e-10 on this config,
+benchmarks/grid_accuracy*.json). The
 default batch is 8192: the scale MC fleets, chi^2 scans and
 nested-sampling live-point batches actually present, which also
 amortizes the fixed ~40 ms/call dispatch+fetch cost of this image's
@@ -129,13 +134,15 @@ def main():
     bench_ap = os.environ.get('VEGA_TPU_BENCH_AP', '1') == '1'
     if bench_ap:
         sampled = dict(sampled, ap=1.0, at=1.0)
-        # The bench batch spans ap/at = 1 +/- ~4 sigma x 1% : a narrow
-        # +/-0.06 node domain at 20 nodes/dim has the same node spacing
-        # (= same measured chi^2 accuracy) as the production default
-        # +/-0.25 x 64 while costing 40x less one-time sweep work on
-        # this image's single-core host. Overridable via the usual envs.
-        os.environ.setdefault('VEGA_TPU_GRID_PAD', '0.06')
-        os.environ.setdefault('VEGA_TPU_GRID_NODES', '20')
+        # The grid collapse runs at the SHIPPED production defaults
+        # (+/-0.25 alpha domain, 32 Chebyshev nodes/dim) — the
+        # configuration a wide-prior nested-sampling run actually uses.
+        # The error-budgeted mode truncation keeps the per-eval payload
+        # tiny on the wide domain too (measured on the reference
+        # config: max |delta chi2| vs dense = 1.7e-10, 31/1/3/3 of the
+        # 1024-4096 tensor modes retained at the default 2e-4 budget;
+        # benchmarks/grid_accuracy*.json), so unlike rounds 2-3 no
+        # narrowed node budget is applied here.
 
     n_devices = len(jax.devices())
     mesh = make_device_mesh()
@@ -149,7 +156,14 @@ def main():
         for name, val in sampled.items()
     }
 
-    # Warmup / compile
+    # One-time basis/grid collapse (host CPU; grid payloads are served
+    # from the disk cache when a previous process of the same fit built
+    # them — see gridcollapse.payload_fingerprint), then the device
+    # compile. Reported separately: the sweep is once-per-fit host
+    # work, the compile is once-per-process device work.
+    t0 = time.time()
+    vega.get_collapsed(tuple(sorted(batches)))
+    sweep_time = time.time() - t0
     t0 = time.time()
     chi2 = bl.chi2(batches)
     compile_time = time.time() - t0
@@ -171,8 +185,8 @@ def main():
         'metric': 'likelihood evals/sec/chip',
         'value': round(evals_per_sec_per_chip, 3),
         'unit': f'evals/s/chip (batch={batch_size}, {precision}, '
-                f'{n_devices} chip(s), compile={compile_time:.1f}s'
-                f'{device_fallback})',
+                f'{n_devices} chip(s), collapse={sweep_time:.1f}s, '
+                f'compile={compile_time:.1f}s{device_fallback})',
         'vs_baseline': round(evals_per_sec_per_chip
                              / reference_evals_per_sec(), 3),
     }

@@ -151,8 +151,8 @@ def main():
         ent['max_chi2_err_bound_dc1'] = max_trunc
         result['budgets'][f'{budget:g}'] = ent
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       'grid_accuracy.json')
+    out = os.environ.get('VEGA_TPU_GRID_ACCURACY_OUT') or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'grid_accuracy.json')
     with open(out, 'w') as fh:
         json.dump(result, fh, indent=2)
     print(json.dumps(result, indent=2))

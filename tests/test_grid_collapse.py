@@ -6,9 +6,11 @@ parameters, making BAO-sampled evaluations as cheap as nuisance-only
 ones. These tests pin:
 
 - value agreement with the dense pipeline over the node domain
-  (documented bound: |delta chi2| <= ~5e-3 absolute at the default 64
-  nodes/dim — the spline stage is C2, so Chebyshev convergence in the
-  node count is cubic, see docs/performance.md);
+  (documented bound on the synthetic config: |delta chi2| <= ~5e-3
+  absolute — the spline stage is C2, so Chebyshev convergence in the
+  node count is cubic; on the reference config at the shipped default
+  32 nodes/dim the measured bound is 1.7e-10, see docs/performance.md
+  and tests/test_grid_reference_accuracy.py);
 - exact batched-vs-serial consistency of the grid path itself;
 - the chi^2 = 1e100 penalty outside the node domain (the reference's
   VegaBoundsError semantics);
@@ -38,7 +40,14 @@ def grid_setup():
     workdir = Path(tempfile.mkdtemp(prefix='vega_tpu_gridc_'))
     sample = {'ap': 'True', 'at': 'True',
               'bias_LYA': 'True', 'beta_LYA': 'True'}
-    main_path = make_synthetic_dataset(workdir, cross=True, sample=sample)
+    # This synthetic config is near-noiseless, so its chi^2 curvature in
+    # (ap, at) is far sharper than real data's — pin 64 nodes/dim (the
+    # 5e-3 bound below was measured there). The shipped default (32) is
+    # exercised at its measured 1.7e-10 bound on the REFERENCE config by
+    # tests/test_grid_reference_accuracy.py.
+    main_path = make_synthetic_dataset(
+        workdir, cross=True, sample=sample,
+        extra_control='grid-nodes-ap = 64\ngrid-nodes-at = 64')
     return VegaInterface(main_path), main_path
 
 
@@ -267,3 +276,54 @@ def test_designated_grid_param(monkeypatch):
     assert np.all(np.isfinite(chi2_grid))
     np.testing.assert_allclose(chi2_grid, chi2_dense, atol=5e-3,
                                rtol=1e-6)
+
+
+def test_payload_disk_cache(monkeypatch, tmp_path):
+    """A fresh interface of the same fit loads the grid payload from the
+    disk cache instead of re-running the node sweep; any input change
+    (here: a different mode budget) changes the fingerprint and
+    rebuilds. This is the mechanism that takes the one-time sweep out
+    of fresh sampler/scan/MC processes (docs/performance.md)."""
+    from vega_tpu.testing import make_synthetic_dataset
+    from vega_tpu.vega_interface import VegaInterface
+    import vega_tpu.gridcollapse as gc
+
+    workdir = Path(tempfile.mkdtemp(prefix='vega_tpu_gridcache_'))
+    sample = {'ap': 'True', 'at': 'True',
+              'bias_LYA': 'True', 'beta_LYA': 'True'}
+    main_path = make_synthetic_dataset(
+        workdir, cross=False, size='tiny', sample=sample,
+        extra_control='grid-nodes-ap = 6\ngrid-nodes-at = 6\n')
+    monkeypatch.setenv('VEGA_TPU_GRID_CACHE_DIR', str(tmp_path))
+    names = ('ap', 'at', 'bias_LYA', 'beta_LYA')
+
+    vega = VegaInterface(main_path)
+    payload = vega.get_collapsed(names)
+    assert payload, 'expected a grid payload'
+    cached = list(tmp_path.glob('grid_*.npz'))
+    assert len(cached) == 1
+
+    # a second interface must LOAD, not sweep
+    def no_sweep(*a, **k):
+        raise AssertionError('sweep ran despite a cached payload')
+    monkeypatch.setattr(gc, 'build_grid_payload', no_sweep)
+    vega2 = VegaInterface(main_path)
+    payload2 = vega2.get_collapsed(names)
+    spec, spec2 = payload['__grid__'], payload2['__grid__']
+    assert (spec2.names, spec2.lo, spec2.hi, spec2.degrees, spec2.ref) \
+        == (spec.names, spec.lo, spec.hi, spec.degrees, spec.ref)
+    for name in payload:
+        if name == '__grid__':
+            continue
+        for part in ('B', 'F', 'cref', 'modes'):
+            np.testing.assert_array_equal(payload[name][part],
+                                          payload2[name][part])
+
+    # changed inputs -> different fingerprint -> rebuild (and the
+    # monkeypatched sweep fires)
+    monkeypatch.undo()
+    monkeypatch.setenv('VEGA_TPU_GRID_CACHE_DIR', str(tmp_path))
+    monkeypatch.setenv('VEGA_TPU_GRID_MODE_BUDGET', '1e-6')
+    vega3 = VegaInterface(main_path)
+    vega3.get_collapsed(names)
+    assert len(list(tmp_path.glob('grid_*.npz'))) == 2

@@ -239,6 +239,94 @@ def grid_corr_chi2(corr_payload, tvecs, coeffs, use_ds=False):
     return s - 2.0 * (dc @ y) + dc @ (a_mat @ dc)
 
 
+# --------------------------------------------------------------------------
+# Payload disk cache
+# --------------------------------------------------------------------------
+# Bump when the payload format or the sweep semantics change.
+PAYLOAD_CACHE_VERSION = 1
+
+
+def payload_fingerprint(vega, sample_names, spec, mode_budget, svd_tol):
+    """Content hash of everything the grid payload depends on: the full
+    resolved configuration, every registered static model constant
+    (already content-hashed by the statics store), the active data
+    vectors and masked inverse covariances, the collapse-time parameter
+    values, the node spec, and the truncation/compression knobs.
+
+    A matching fingerprint implies a bit-identical payload (the sweep is
+    deterministic), so sampler / scan / MC driver processes of the same
+    fit skip the one-time node sweep entirely (~200 s at the shipped
+    32x32 default on a 1-core host) and go straight to compile."""
+    import hashlib
+    import io
+    from .statics import STATICS
+
+    h = hashlib.blake2b(digest_size=20)
+    h.update(str(PAYLOAD_CACHE_VERSION).encode())
+
+    buf = io.StringIO()
+    vega.main_config.write(buf)
+    for name, item in sorted(vega.corr_items.items()):
+        buf.write(f'[[{name}]]\n')
+        item.config.write(buf)
+    h.update(buf.getvalue().encode())
+
+    for key in sorted(STATICS._by_hash):
+        h.update(repr(key).encode())
+
+    for name, vec in sorted(vega._current_data_vecs().items()):
+        h.update(name.encode())
+        h.update(np.ascontiguousarray(vec).tobytes())
+        h.update(np.ascontiguousarray(
+            vega.data[name].inv_masked_cov).tobytes())
+
+    for name in sorted(sample_names):
+        h.update(f'{name}={float(vega.params.get(name, 0.0))!r}'.encode())
+    h.update(repr((spec.names, spec.lo, spec.hi, spec.degrees,
+                   spec.ref)).encode())
+    h.update(repr((float(mode_budget), float(svd_tol),
+                   os.environ.get('VEGA_TPU_GRID_PROBES', '512'))).encode())
+    return h.hexdigest()
+
+
+def payload_cache_dir():
+    """None when caching is disabled (VEGA_TPU_GRID_CACHE=0)."""
+    if os.environ.get('VEGA_TPU_GRID_CACHE', '1') != '1':
+        return None
+    return os.environ.get(
+        'VEGA_TPU_GRID_CACHE_DIR',
+        os.path.expanduser('~/.cache/vega_tpu_grid'))
+
+
+def save_payload(path, payload):
+    spec = payload['__grid__']
+    arrays = {'__spec__': np.array(
+        repr((spec.names, spec.lo, spec.hi, spec.degrees, spec.ref)))}
+    for name, corr in payload.items():
+        if name == '__grid__':
+            continue
+        for part, arr in corr.items():
+            arrays[f'{name}::{part}'] = arr
+    tmp = f'{path}.{os.getpid()}.tmp'
+    with open(tmp, 'wb') as fh:
+        np.savez(fh, **arrays)          # file object: no suffix magic
+    os.replace(tmp, path)
+
+
+def load_payload(path):
+    from ast import literal_eval
+    with np.load(path) as data:
+        names, lo, hi, degrees, ref = literal_eval(
+            str(data['__spec__']))
+        payload = {'__grid__': GridSpec(names, lo, hi, degrees, ref)}
+        for key in data.files:
+            if key == '__spec__':
+                continue
+            name, part = key.split('::', 1)
+            payload.setdefault(name, {})[part] = data[key]
+    return payload
+
+
 def _probe_psi(spec, n_probe, rng):
     """(n_probe, N) tensor-product Chebyshev basis values at a uniform
     probe cloud over the normalized domain (host numpy)."""

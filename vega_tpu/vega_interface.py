@@ -741,13 +741,18 @@ class VegaInterface:
         if degree is None:
             degree = os.environ.get('VEGA_TPU_GRID_NODES')
         if degree is None:
-            # alpha-like default 64: measured |delta chi2| <= ~4e-3
-            # absolute on the synthetic DR16-shaped config
-            # (tests/test_grid_collapse.py, docs/performance.md); the
-            # spline stage is C2 so convergence in the node count is
-            # cubic, not spectral
+            # alpha-like default 32: measured max |delta chi2| vs the
+            # dense pipeline on the reference DR16-subset config over
+            # the full +/-0.25 production domain is 1.7e-10 at 32
+            # nodes/dim and 1.4e-10 at 64 (benchmarks/grid_accuracy.py,
+            # 2026-08-19) — node convergence saturates well below 32,
+            # and the validated mode truncation bounds the payload
+            # error independently of the node count; 32 keeps the
+            # one-time sweep ~200 s instead of ~850 s on a 1-core host.
+            # On the synthetic DR16-shaped config the measured bound is
+            # ~4e-3 (tests/test_grid_collapse.py, docs/performance.md).
             if name in ALPHA_LIKE or name.startswith('alpha_smooth'):
-                degree = 64
+                degree = 32
             elif name.startswith('drp_'):
                 degree = 12
             else:
@@ -775,8 +780,9 @@ class VegaInterface:
         if len(grid_names) >= 3:
             # keep the node tensor affordable in 3+ dimensions
             # (e.g. ap, at, drp_QSO): trim the default alpha degree
-            # 64 -> 48 unless explicitly configured
-            degrees = [48 if (d == 64
+            # 32 -> 24 unless explicitly configured (24^2 x 12 = 6912
+            # nodes for the DR16 combined (ap, at, drp_QSO) case)
+            degrees = [24 if (d == 32
                               and self._control_get(f'grid-nodes-{n}')
                               is None) else d
                        for n, d in zip(grid_names, degrees)]
@@ -792,11 +798,42 @@ class VegaInterface:
             return {}
         self._ensure_static_refs()
         mode_budget = self._control_get('grid-mode-budget')
+        if mode_budget is None:
+            mode_budget = os.environ.get('VEGA_TPU_GRID_MODE_BUDGET', 2e-4)
+        mode_budget = float(mode_budget)
+        svd_tol = float(os.environ.get('VEGA_TPU_GRID_SVD_TOL', 1e-12))
+
+        # Disk cache: the node sweep is deterministic in its inputs, so
+        # a matching content fingerprint lets fresh sampler/scan/MC
+        # processes of the same fit load the payload instead of paying
+        # the one-time sweep (Monte-Carlo mode is excluded — mock data
+        # vectors change per realization and bake into the payload).
+        from .gridcollapse import (payload_cache_dir, payload_fingerprint,
+                                   load_payload, save_payload)
+        disk_path = None
+        if not self.monte_carlo:
+            cache_dir = payload_cache_dir()
+            if cache_dir is not None:
+                fp = payload_fingerprint(self, sorted(key), spec,
+                                         mode_budget, svd_tol)
+                os.makedirs(cache_dir, exist_ok=True)
+                disk_path = os.path.join(cache_dir, f'grid_{fp}.npz')
+                if os.path.exists(disk_path):
+                    try:
+                        payload = load_payload(disk_path)
+                        self._grid_cache[cache_key] = payload
+                        return payload
+                    except Exception as exc:    # corrupt cache entry
+                        print(f'WARNING: ignoring unreadable grid-payload '
+                              f'cache entry {disk_path} ({exc})')
+
         payload = build_grid_payload(
             self, sorted(key), grid_names, spec,
-            mode_budget=None if mode_budget is None else float(mode_budget))
+            svd_tol=svd_tol, mode_budget=mode_budget)
         if len(payload) <= 1:       # only '__grid__': nothing factored
             payload = {}
+        elif disk_path is not None:
+            save_payload(disk_path, payload)
         # host (numpy) payload cached; device copies via _device_collapsed
         self._grid_cache[cache_key] = payload
         return payload
