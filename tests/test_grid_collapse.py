@@ -327,3 +327,21 @@ def test_payload_disk_cache(monkeypatch, tmp_path):
     vega3 = VegaInterface(main_path)
     vega3.get_collapsed(names)
     assert len(list(tmp_path.glob('grid_*.npz'))) == 2
+
+
+def test_batch_device_cpu(grid_setup):
+    """BatchedLikelihood(device='cpu') executes the batched graph on the
+    host CPU backend (the batched analogue of the serial fit providers
+    for tunneled-accelerator images) and agrees with the serial path."""
+    from vega_tpu.parallel import BatchedLikelihood
+
+    vega, _ = grid_setup
+    pts = _random_points(np.random.default_rng(21), 8)
+    serial = np.array([vega.chi2(p) for p in pts])
+    bl = BatchedLikelihood(vega, device='cpu')
+    assert all(d.platform == 'cpu' for d in bl.mesh.devices.ravel())
+    batches = {n: np.array([p[n] for p in pts]) for n in NAMES}
+    np.testing.assert_allclose(bl.chi2(batches), serial, rtol=1e-12)
+
+    with pytest.raises(ValueError):
+        BatchedLikelihood(vega, device='gpu')

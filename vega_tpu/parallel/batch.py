@@ -49,17 +49,38 @@ class BatchedLikelihood:
     """
 
     def __init__(self, vega, mesh=None, axis_name='batch',
-                 chunk_per_device=None):
+                 chunk_per_device=None, device=None):
         """chunk_per_device bounds how many batch items are in flight per
         device at once: inside the jit, chunks run sequentially via
         lax.map while each chunk vmaps+shards across the mesh. This caps
         the HBM footprint of the per-item (mu_k, k) grids (a 16 GB v5e
-        fits ~192 items in f64), so arbitrarily large batches work."""
-        self.vega = vega
-        self.mesh = mesh if mesh is not None else make_device_mesh(
-            axis_name=axis_name)
-        self.axis_name = axis_name
+        fits ~192 items in f64), so arbitrarily large batches work.
+
+        device: 'accelerator' (default) or 'cpu'
+        (env VEGA_TPU_BATCH_DEVICE). 'cpu' compiles AND executes the
+        batched graph on the host CPU backend — the batched analogue of
+        the serial fit providers (docs/performance.md "Fit
+        wall-clock"): when the likelihood is served by the basis/grid
+        collapse the per-eval graph is coefficient-sized, and on this
+        image's tunneled accelerator the host CPU matches the remote
+        chip at sampler batch widths (measured: 28.5k vs 3.4k evals/s
+        on the NS loop) while compiling in seconds instead of the
+        O(200 s) remote cold compile. On directly-attached hardware
+        keep the default."""
         import os
+        self.vega = vega
+        self.device = device or os.environ.get(
+            'VEGA_TPU_BATCH_DEVICE', 'accelerator')
+        if self.device not in ('accelerator', 'cpu'):
+            raise ValueError(f'Unknown batch device {self.device!r}; '
+                             "use 'accelerator' or 'cpu'.")
+        if self.device == 'cpu':
+            cpu_devices = jax.devices('cpu')
+            self.mesh = Mesh(np.array(cpu_devices), (axis_name,))
+        else:
+            self.mesh = mesh if mesh is not None else make_device_mesh(
+                axis_name=axis_name)
+        self.axis_name = axis_name
         if chunk_per_device is None:
             chunk_per_device = int(os.environ.get(
                 'VEGA_TPU_CHUNK_PER_DEVICE', 128))
@@ -119,9 +140,15 @@ class BatchedLikelihood:
             arr, _ = _pad_to_multiple(v, chunk_total)
             padded[k] = arr.reshape(-1, chunk_total)
         fn = self._build(names)
-        collapsed = self.vega._device_collapsed(
-            self.vega.get_collapsed(names))
-        statics = STATICS.device_tree()
+        if self.device == 'cpu':
+            # host numpy everywhere: the jit's CPU-mesh in_shardings
+            # place them, no accelerator transfer ever happens
+            collapsed = self.vega.get_collapsed(names)
+            statics = STATICS.host_tree()
+        else:
+            collapsed = self.vega._device_collapsed(
+                self.vega.get_collapsed(names))
+            statics = STATICS.device_tree()
         if jax.process_count() > 1:
             # Multi-host (DCN): jit inputs must be global jax.Arrays.
             # Every process holds the same full numpy batch, so each
