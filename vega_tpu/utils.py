@@ -208,11 +208,38 @@ def find_file(path):
     raise RuntimeError(f'The path/file does not exist: {input_path}')
 
 
+# Content-keyed caches for the O(n^3) covariance factorizations. These
+# dominate multi-interface cold starts (measured: 44 s of a 55 s first
+# chi^2 on a 1-core host was Cholesky/inv of the SAME four covariances
+# an earlier interface had already factorized) — any process that
+# builds several VegaInterface instances over the same data (test
+# suites, scan/MC drivers, config sweeps) repeats identical LAPACK
+# work. Hashing the 10-100 MB inputs costs ~10 ms/GB with blake2b;
+# the factorizations cost tens of seconds.
+_INVCOV_CACHE = {}
+_LOGDET_CACHE = {}
+
+
+def _cov_key(cov_mat, data_mask):
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.ascontiguousarray(cov_mat).view(np.uint8))
+    h.update(np.ascontiguousarray(data_mask).view(np.uint8))
+    h.update(repr((cov_mat.shape, str(cov_mat.dtype))).encode())
+    return h.digest()
+
+
 def compute_masked_invcov(cov_mat, data_mask, check_posdef=True):
     """Masked inverse covariance (reference: utils.py:271-298).
 
-    Host-side init work; stays numpy/LAPACK.
+    Host-side init work; stays numpy/LAPACK. Content-cached per process
+    (callers must not mutate the returned array in place).
     """
+    key = (_cov_key(cov_mat, data_mask), bool(check_posdef))
+    cached = _INVCOV_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     masked_cov = cov_mat[np.ix_(data_mask, data_mask)]
 
     if check_posdef:
@@ -225,13 +252,23 @@ def compute_masked_invcov(cov_mat, data_mask, check_posdef=True):
         except np.linalg.LinAlgError:
             print('WARNING: Reduced matrix is not positive definite')
 
-    return np.linalg.inv(masked_cov)
+    out = np.linalg.inv(masked_cov)
+    out.setflags(write=False)      # shared across interfaces: freeze
+    _INVCOV_CACHE[key] = out
+    return out
 
 
 def compute_log_cov_det(cov_mat, data_mask):
-    """log|C| of the masked covariance (reference: utils.py:301-318)."""
+    """log|C| of the masked covariance (reference: utils.py:301-318).
+    Content-cached per process like compute_masked_invcov."""
+    key = _cov_key(cov_mat, data_mask)
+    cached = _LOGDET_CACHE.get(key)
+    if cached is not None:
+        return cached
     masked_cov = cov_mat[np.ix_(data_mask, data_mask)]
-    return np.linalg.slogdet(masked_cov)[1]
+    out = float(np.linalg.slogdet(masked_cov)[1])
+    _LOGDET_CACHE[key] = out
+    return out
 
 
 def get_blinding(blind_pars, blinding_strat):
