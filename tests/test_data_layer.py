@@ -68,3 +68,36 @@ def test_monte_carlo_mock(tmp_path):
     resid = mock[data.data_mask] - fiducial[data.data_mask]
     pulls = resid / np.sqrt(data.variance[data.data_mask])
     assert 0.7 < pulls.std() < 1.3
+
+
+def test_invcov_content_cache():
+    """The per-process factorization cache (utils.py) must return the
+    SAME frozen array for identical (cov, mask) content, a fresh result
+    for different content, and stay numerically exact."""
+    from vega_tpu.utils import compute_log_cov_det, compute_masked_invcov
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(40, 40))
+    cov = a @ a.T + 40 * np.eye(40)
+    mask = np.ones(40, dtype=bool)
+    mask[::5] = False
+
+    inv1 = compute_masked_invcov(cov, mask)
+    inv2 = compute_masked_invcov(cov.copy(), mask.copy())  # same content, new buffers
+    assert inv1 is inv2                       # cache hit by content, not identity
+    assert not inv1.flags.writeable           # shared across interfaces: frozen
+    with pytest.raises(ValueError):
+        inv1[0, 0] = 0.0
+    np.testing.assert_allclose(
+        inv1, np.linalg.inv(cov[np.ix_(mask, mask)]), rtol=1e-12)
+
+    mask2 = mask.copy()
+    mask2[1] = False
+    inv3 = compute_masked_invcov(cov, mask2)  # different mask -> different entry
+    assert inv3 is not inv1
+    assert inv3.shape[0] == mask2.sum()
+
+    d1 = compute_log_cov_det(cov, mask)
+    d2 = compute_log_cov_det(cov.copy(), mask)
+    assert d1 == d2
+    assert np.isclose(d1, np.linalg.slogdet(cov[np.ix_(mask, mask)])[1])
