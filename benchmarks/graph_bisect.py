@@ -32,7 +32,7 @@ def main():
 
     from vega_tpu.vega_interface import VegaInterface
     from vega_tpu.statics import STATICS
-    from vega_tpu.gridcollapse import grid_psi, grid_corr_chi2
+    from vega_tpu.gridcollapse import grid_tvecs, grid_corr_chi2
 
     if os.path.isdir('/root/reference/tests'):
         os.chdir('/root/reference/tests')
@@ -91,12 +91,12 @@ def main():
             sref.update(ref_subst)
             mp = vega._get_lcl_prms(sref)
             model_cf, bad = vega._model_graph(mp, keep_factored=True)
-            psi, excess = grid_psi(spec, p)
+            tvecs, excess = grid_tvecs(spec, p)
             chi2 = 0.
             for n in corr_names:
                 fxi = model_cf[n].mask(vega.data[n].model_mask)
                 c = fxi.coeff_vector()
-                chi2 = chi2 + cs[n] * grid_corr_chi2(co[n], psi, c)
+                chi2 = chi2 + cs[n] * grid_corr_chi2(co[n], tvecs, c)
             return chi2 + jnp.where(bad, 1e100, 0.)
 
     fd = jax.jit(jax.vmap(manual_one, in_axes=(0, None, None)))
@@ -109,12 +109,12 @@ def main():
             sref.update(ref_subst)
             mp = vega._get_lcl_prms(sref)
             model_cf, _ = vega._model_graph(mp, keep_factored=True)
-            psi, excess = grid_psi(spec, p)
+            tvecs, excess = grid_tvecs(spec, p)
             chi2 = 0.
             for n in corr_names:
                 fxi = model_cf[n].mask(vega.data[n].model_mask)
                 c = fxi.coeff_vector()
-                chi2 = chi2 + cs[n] * grid_corr_chi2(co[n], psi, c)
+                chi2 = chi2 + cs[n] * grid_corr_chi2(co[n], tvecs, c)
             return chi2
 
     fd2 = jax.jit(jax.vmap(manual_nobad, in_axes=(0, None, None)))
@@ -129,12 +129,12 @@ def main():
             sref.update(ref_subst)
             mp = vega._get_lcl_prms(sref)
             model_cf, bad = vega._model_graph(mp, keep_factored=True)
-            psi, excess = grid_psi(spec, p)
+            tvecs, excess = grid_tvecs(spec, p)
             chi2 = 0.
             for n in corr_names:
                 fxi = model_cf[n].mask(vega.data[n].model_mask)
                 c = fxi.coeff_vector()
-                chi2 = chi2 + cs[n] * grid_corr_chi2(co[n], psi, c)
+                chi2 = chi2 + cs[n] * grid_corr_chi2(co[n], tvecs, c)
             chi2 = chi2 + vega._prior_chi2_graph(lp)
             chi2 = chi2 + 1e8 * excess
             return jnp.where(bad, 1e100, chi2)

@@ -35,7 +35,8 @@ def main():
 
     from vega_tpu.vega_interface import VegaInterface
     from vega_tpu.parallel import BatchedLikelihood
-    from vega_tpu.gridcollapse import grid_psi, grid_corr_chi2
+    from vega_tpu.gridcollapse import (grid_tvecs, grid_corr_chi2,
+                                       psi_from_modes)
 
     if os.path.isdir('/root/reference/tests'):
         os.chdir('/root/reference/tests')
@@ -72,37 +73,47 @@ def main():
     def stage0(b):
         return b['ap'] * 1.0
 
+    # psi is now per-correlation: the retained Chebyshev modes are
+    # gathered from the per-dimension value vectors (mode truncation),
+    # so each stage builds tvecs once and psi per correlation.
     def stage1(b):
-        psi, exc = jax.vmap(lambda a, t: grid_psi(
-            spec, {'ap': a, 'at': t}))(b['ap'], b['at'])
-        return psi.sum(axis=1) + exc
+        def one(a, t):
+            tv, exc = grid_tvecs(spec, {'ap': a, 'at': t})
+            out = exc
+            for n in names:
+                out = out + psi_from_modes(tv, dev_payload[n]['modes']).sum()
+            return out
+        return jax.vmap(one)(b['ap'], b['at'])
 
     def stage2(b, pl):
-        psi, _ = jax.vmap(lambda a, t: grid_psi(
-            spec, {'ap': a, 'at': t}))(b['ap'], b['at'])
-        out = 0.
-        for n in names:
-            out = out + (psi @ pl[n]['B']).sum(axis=1)
-        return out
+        def one(a, t):
+            tv, _ = grid_tvecs(spec, {'ap': a, 'at': t})
+            out = 0.
+            for n in names:
+                psi = psi_from_modes(tv, pl[n]['modes'])
+                out = out + (psi @ pl[n]['B']).sum()
+            return out
+        return jax.vmap(one)(b['ap'], b['at'])
 
     def stage3(b, pl):
-        psi, _ = jax.vmap(lambda a, t: grid_psi(
-            spec, {'ap': a, 'at': t}))(b['ap'], b['at'])
-        out = 0.
-        for n in names:
-            out = out + ((psi @ pl[n]['B']) @ pl[n]['F']).sum(axis=1)
-        return out
+        def one(a, t):
+            tv, _ = grid_tvecs(spec, {'ap': a, 'at': t})
+            out = 0.
+            for n in names:
+                psi = psi_from_modes(tv, pl[n]['modes'])
+                out = out + ((psi @ pl[n]['B']) @ pl[n]['F']).sum()
+            return out
+        return jax.vmap(one)(b['ap'], b['at'])
 
     def stage4(b, pl, dc):
-        psi, _ = jax.vmap(lambda a, t: grid_psi(
-            spec, {'ap': a, 'at': t}))(b['ap'], b['at'])
-        out = 0.
-        for n in names:
-            c = pl[n]['cref'][None, :] + dc[n]
-            out = out + jax.vmap(
-                lambda p, cc, _pl=pl[n]: grid_corr_chi2(_pl, p, cc))(
-                    psi, c)
-        return out
+        def one(a, t, dci):
+            tv, _ = grid_tvecs(spec, {'ap': a, 'at': t})
+            out = 0.
+            for n in names:
+                out = out + grid_corr_chi2(pl[n], tv,
+                                           pl[n]['cref'] + dci[n])
+            return out
+        return jax.vmap(one)(b['ap'], b['at'], dc)
 
     bl = BatchedLikelihood(vega)
 
@@ -154,7 +165,8 @@ def main():
         return jax.vmap(coeff_one, in_axes=(0, None))(b, st)
 
     def stage_c128(b, st):
-        chunks = {k: v.reshape(-1, 128) for k, v in b.items()}
+        c = min(128, batch)
+        chunks = {k: v.reshape(-1, c) for k, v in b.items()}
         return jax.lax.map(
             lambda ch: jax.vmap(coeff_one, in_axes=(0, None))(ch, st),
             chunks).reshape(-1)

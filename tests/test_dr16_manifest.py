@@ -165,3 +165,18 @@ def test_generated_configs_match_svn_layout(fake_svn_dir, tmp_path):
                 (name, metal_file.name)
             checked.add(name)
     assert checked == {'lyaxlya', 'lyaxlyb', 'lyaxqso', 'lybxqso'}
+
+
+def test_sisi_pairs_required_by_default():
+    """The DR16 configs never set use_metal_autos, and the [model]
+    default is True (data.py:38-39) — so the run READS SiII-SiII
+    columns and the verifier must require them (a verifier that skips
+    them would bless a file the fit then crashes on)."""
+    metals = ['SiII(1190)', 'SiII(1193)', 'SiIII(1207)', 'SiII(1260)']
+    pairs = required_metal_pairs('LYA', 'LYA', metals)
+    assert ('SiII(1190)', 'SiII(1193)') in pairs
+    # and the explicit opt-out still filters them
+    pairs_off = required_metal_pairs('LYA', 'LYA', metals,
+                                     use_metal_autos=False)
+    assert ('SiII(1190)', 'SiII(1193)') not in pairs_off
+    assert all('SiII' not in a or 'SiII' not in b for a, b in pairs_off)

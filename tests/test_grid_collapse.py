@@ -345,3 +345,41 @@ def test_batch_device_cpu(grid_setup):
 
     with pytest.raises(ValueError):
         BatchedLikelihood(vega, device='gpu')
+
+
+def test_fingerprint_isolation_and_content(monkeypatch, tmp_path):
+    """The payload fingerprint must (a) be independent of unrelated
+    interfaces built earlier in the process, (b) be identical for a
+    fresh interface over the same config+data, (c) change when ANY
+    current parameter is mutated (the sweep bakes every non-sampled
+    parameter into the payload), and (d) change when file-backed model
+    content (the fiducial Pk) changes at the same path."""
+    from vega_tpu.testing import make_synthetic_dataset
+    from vega_tpu.vega_interface import VegaInterface
+    from vega_tpu.gridcollapse import GridSpec, payload_fingerprint
+
+    wd = Path(tempfile.mkdtemp(prefix='vega_tpu_fp_'))
+    ini = make_synthetic_dataset(wd, cross=False, size='tiny')
+    names = ('ap', 'at')
+    spec = GridSpec(names, (0.94, 0.94), (1.06, 1.06), (8, 8), (1.0, 1.0))
+
+    v1 = VegaInterface(ini)
+    fp1 = payload_fingerprint(v1, names, spec, 1e-8, 1e-10)
+
+    # (a) an unrelated interface registers its own statics; fp unchanged
+    wd2 = Path(tempfile.mkdtemp(prefix='vega_tpu_fp2_'))
+    VegaInterface(make_synthetic_dataset(wd2, cross=True, seed=3))
+    assert payload_fingerprint(v1, names, spec, 1e-8, 1e-10) == fp1
+
+    # (b) a fresh identical interface fingerprints identically
+    v2 = VegaInterface(ini)
+    assert payload_fingerprint(v2, names, spec, 1e-8, 1e-10) == fp1
+
+    # (c) mutating a NON-sampled parameter invalidates
+    v2.params['sigmaNL_par'] = 5.0
+    assert payload_fingerprint(v2, names, spec, 1e-8, 1e-10) != fp1
+
+    # (d) fiducial Pk content (same shape, same path) invalidates
+    v3 = VegaInterface(ini)
+    v3.fiducial['pk_full'] = np.asarray(v3.fiducial['pk_full']) * 1.01
+    assert payload_fingerprint(v3, names, spec, 1e-8, 1e-10) != fp1

@@ -243,15 +243,22 @@ def grid_corr_chi2(corr_payload, tvecs, coeffs, use_ds=False):
 # Payload disk cache
 # --------------------------------------------------------------------------
 # Bump when the payload format or the sweep semantics change.
-PAYLOAD_CACHE_VERSION = 1
+PAYLOAD_CACHE_VERSION = 2
 
 
 def payload_fingerprint(vega, sample_names, spec, mode_budget, svd_tol):
     """Content hash of everything the grid payload depends on: the full
-    resolved configuration, every registered static model constant
-    (already content-hashed by the statics store), the active data
-    vectors and masked inverse covariances, the collapse-time parameter
-    values, the node spec, and the truncation/compression knobs.
+    resolved configuration, the external array content the config only
+    names by path (fiducial Pk template, distortion matrices, metal
+    matrices and their coordinate grids — so swapping a file's content
+    at the same path invalidates the cache), the active data vectors and
+    masked inverse covariances, ALL current parameter values (the node
+    sweep bakes every non-sampled parameter into the payload via the
+    local-param resolution, not just the sampled ones), the
+    float-precision mode, the node spec, and the truncation/compression
+    knobs. Deliberately NOT hashed: the process-global statics registry,
+    which would make the fingerprint depend on unrelated interfaces
+    built earlier in the same process.
 
     A matching fingerprint implies a bit-identical payload (the sweep is
     deterministic), so sampler / scan / MC driver processes of the same
@@ -259,10 +266,17 @@ def payload_fingerprint(vega, sample_names, spec, mode_budget, svd_tol):
     32x32 default on a 1-core host) and go straight to compile."""
     import hashlib
     import io
-    from .statics import STATICS
+
+    import jax
 
     h = hashlib.blake2b(digest_size=20)
     h.update(str(PAYLOAD_CACHE_VERSION).encode())
+
+    def eat(label, arr):
+        h.update(label.encode())
+        arr = np.ascontiguousarray(arr)
+        h.update(repr((arr.shape, str(arr.dtype))).encode())
+        h.update(arr.tobytes())
 
     buf = io.StringIO()
     vega.main_config.write(buf)
@@ -271,17 +285,40 @@ def payload_fingerprint(vega, sample_names, spec, mode_budget, svd_tol):
         item.config.write(buf)
     h.update(buf.getvalue().encode())
 
-    for key in sorted(STATICS._by_hash):
-        h.update(repr(key).encode())
+    # File-backed model constants (content, not path).
+    for key in sorted(vega.fiducial):
+        val = vega.fiducial[key]
+        if isinstance(val, np.ndarray):
+            eat(f'fid:{key}', val)
+        else:
+            h.update(f'fid:{key}={val!r}'.encode())
 
     for name, vec in sorted(vega._current_data_vecs().items()):
         h.update(name.encode())
         h.update(np.ascontiguousarray(vec).tobytes())
         h.update(np.ascontiguousarray(
             vega.data[name].inv_masked_cov).tobytes())
+        corr_data = vega.data[name]
+        if corr_data.has_distortion:
+            eat(f'{name}:dmat', corr_data.distortion_mat)
+        for pair, mat in sorted(getattr(corr_data, 'metal_mats',
+                                        {}).items()):
+            if mat is not None:
+                eat(f'{name}:met:{pair}', mat)
+        for pair, coords in sorted(getattr(corr_data, 'metal_coordinates',
+                                           {}).items()):
+            eat(f'{name}:metrp:{pair}', coords.rp_grid)
+            eat(f'{name}:metrt:{pair}', coords.rt_grid)
+            eat(f'{name}:metz:{pair}', coords.z_grid)
 
-    for name in sorted(sample_names):
-        h.update(f'{name}={float(vega.params.get(name, 0.0))!r}'.encode())
+    # The sweep resolves EVERY parameter through _get_lcl_prms, so a
+    # programmatically mutated non-sampled parameter (e.g.
+    # vega.params['sigmaNL_par'] = ...) changes the payload: hash them
+    # all, not just the sampled names.
+    for name in sorted(vega.params):
+        h.update(f'{name}={vega.params[name]!r}'.encode())
+    # f32-mode payloads must never serve an f64 run (or vice versa).
+    h.update(f'x64={bool(jax.config.jax_enable_x64)}'.encode())
     h.update(repr((spec.names, spec.lo, spec.hi, spec.degrees,
                    spec.ref)).encode())
     h.update(repr((float(mode_budget), float(svd_tol),

@@ -75,8 +75,20 @@ class BatchedLikelihood:
             raise ValueError(f'Unknown batch device {self.device!r}; '
                              "use 'accelerator' or 'cpu'.")
         if self.device == 'cpu':
-            cpu_devices = jax.devices('cpu')
-            self.mesh = Mesh(np.array(cpu_devices), (axis_name,))
+            if mesh is not None:
+                # An explicitly passed mesh must never be silently
+                # replaced (e.g. VEGA_TPU_BATCH_DEVICE=cpu in the env
+                # while the caller shards over an accelerator mesh).
+                platforms = {d.platform for d in mesh.devices.flat}
+                if platforms != {'cpu'}:
+                    raise ValueError(
+                        f"device='cpu' conflicts with the explicit mesh "
+                        f'over {sorted(platforms)} devices; drop the '
+                        'mesh argument or unset VEGA_TPU_BATCH_DEVICE.')
+                self.mesh = mesh
+            else:
+                cpu_devices = jax.devices('cpu')
+                self.mesh = Mesh(np.array(cpu_devices), (axis_name,))
         else:
             self.mesh = mesh if mesh is not None else make_device_mesh(
                 axis_name=axis_name)

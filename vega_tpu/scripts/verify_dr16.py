@@ -45,12 +45,16 @@ def load_manifest():
         return json.load(fh)
 
 
-def required_metal_pairs(tracer1, tracer2, metals):
+def required_metal_pairs(tracer1, tracer2, metals, use_metal_autos=True):
     """Metal pair names whose RP_/RT_/Z_/DM_ columns the DR16 configs
     will request from a metal file (same list and filters as
     Data._metal_pairs + Data._use_correlation; reference
     data.py:556-653). For the QSO cross only `in tracer2` carries
-    metals (reference examples/eBOSS_DR16/qsoxlyalya.ini)."""
+    metals (reference examples/eBOSS_DR16/qsoxlyalya.ini).
+
+    use_metal_autos mirrors the [model] key of the same name, default
+    True — the DR16 configs do not set it, so SiII-SiII pairs ARE read
+    by the run and must be verified (reference data.py:45,650)."""
     is_auto = tracer1 == tracer2
     in1 = list(metals) if is_auto else None
     in2 = list(metals)
@@ -58,8 +62,8 @@ def required_metal_pairs(tracer1, tracer2, metals):
     def use(m1, m2):
         if m1 == 'CIV(eff)' or m2 == 'CIV(eff)':
             return m1 == m2
-        if 'SiII' in m1 and 'SiII' in m2:
-            return False        # use_metal_autos is off in the DR16 runs
+        if 'SiII' in m1 and 'SiII' in m2 and not use_metal_autos:
+            return False
         return True
 
     pairs = []
@@ -104,9 +108,14 @@ def check_metal(hdul, info, metals, errors, fname):
         errors.append(f'{fname}: expected the metal-matrix table in '
                       'HDU 2 (file has fewer HDUs)')
         return
+    # Match the reader exactly (data.py:378-420): RP_/RT_/Z_ columns are
+    # read from HDU 2 ONLY; the DM_ column may fall back to HDU 3. A
+    # column the verifier accepts from the wrong HDU would pass
+    # verification but crash the actual run.
     cols = set(hdul[2].columns)
+    dm_cols = set(cols)
     if len(hdul) > 3:
-        cols |= set(hdul[3].columns)
+        dm_cols |= set(hdul[3].columns)
     blinded = header.get('BLINDING', 'none') != 'none'
     dm_prefix = 'DM_BLIND_' if blinded else 'DM_'
     tracer1, tracer2 = info['tracers']
@@ -117,13 +126,18 @@ def check_metal(hdul, info, metals, errors, fname):
         alt = '_'.join(reversed(pair))
         if f'RP_{name}' not in cols and f'RP_{alt}' not in cols:
             errors.append(f'{fname}: no RP_{name} (or RP_{alt}) column '
-                          'for a metal pair the DR16 configs request')
+                          'in HDU 2 for a metal pair the DR16 configs '
+                          'request')
             continue
         if f'RP_{name}' not in cols:
             name = alt
-        for prefix in ('RT_', 'Z_', dm_prefix):
+        for prefix in ('RT_', 'Z_'):
             if f'{prefix}{name}' not in cols:
-                errors.append(f'{fname}: no {prefix}{name} column')
+                errors.append(f'{fname}: no {prefix}{name} column in '
+                              'HDU 2')
+        if f'{dm_prefix}{name}' not in dm_cols:
+            errors.append(f'{fname}: no {dm_prefix}{name} column in '
+                          'HDU 2 or 3')
 
 
 def sha256_of(path, chunk=1 << 22):

@@ -215,9 +215,24 @@ def find_file(path):
 # builds several VegaInterface instances over the same data (test
 # suites, scan/MC drivers, config sweeps) repeats identical LAPACK
 # work. Hashing the 10-100 MB inputs costs ~10 ms/GB with blake2b;
-# the factorizations cost tens of seconds.
+# the factorizations cost tens of seconds. The inverse cache is
+# byte-bounded (FIFO eviction, VEGA_TPU_INVCOV_CACHE_MB, default
+# 4096) so a driver sweeping many distinct covariances/masks cannot
+# grow RSS without bound.
 _INVCOV_CACHE = {}
 _LOGDET_CACHE = {}
+
+
+def _invcov_cache_insert(key, out):
+    budget = float(os.environ.get('VEGA_TPU_INVCOV_CACHE_MB', '4096'))
+    budget_bytes = int(budget * 2**20)
+    if out.nbytes > budget_bytes:
+        return                       # too big to cache at all
+    held = sum(v.nbytes for v in _INVCOV_CACHE.values())
+    while _INVCOV_CACHE and held + out.nbytes > budget_bytes:
+        _, evicted = _INVCOV_CACHE.popitem()   # LIFO is fine: any eviction
+        held -= evicted.nbytes                 # keeps the bound; dict has
+    _INVCOV_CACHE[key] = out                   # no popfirst pre-3.12
 
 
 def _cov_key(cov_mat, data_mask):
@@ -254,7 +269,7 @@ def compute_masked_invcov(cov_mat, data_mask, check_posdef=True):
 
     out = np.linalg.inv(masked_cov)
     out.setflags(write=False)      # shared across interfaces: freeze
-    _INVCOV_CACHE[key] = out
+    _invcov_cache_insert(key, out)
     return out
 
 
