@@ -11,6 +11,20 @@ log_lik at parameter points. Both frameworks read the SAME generated
 config files (tests/tools/variant_configs.py), so a mismatch here is a
 model discrepancy, not a config-interpretation one.
 
+Cost control (the suite compiles ~40 distinct XLA graphs otherwise):
+one ``VegaInterface`` per variant is built once and shared across the
+parity / scan / fit tests (``_interface_for``), and every plain-chi2
+assert is evaluated at a single per-variant canonical key set — the
+union of all sampled names appearing anywhere in that variant's golden
+entry, with absent names filled explicitly at their config defaults
+(``vega.params``). Passing a default explicitly is numerically
+identical to letting the parameter collapse bake it in (the reference
+fills missing names from the same INI), so every point still checks
+the same golden value, but the suite traces/compiles ONE chi2 graph
+per variant instead of one per (point, key-set). Multi-key-set
+collapse coverage is retained by test_reference_goldens.py, which
+evaluates the base config under several different sampled-key sets.
+
 Reference anchors: power_spectrum.py:128-188/291-303/427-428,
 correlation_func.py:71-104/316-371, scale_parameters.py:20-230,
 pktoxi.py:346-379.
@@ -49,6 +63,63 @@ def goldens():
             for name, entry in raw.items()}
 
 
+# One interface per variant, shared by the parity/scan/fit tests below
+# (ample RAM; rebuilding retraces and recompiles the chi2 graph).
+_IFACES = {}
+
+
+@pytest.fixture(scope='module', autouse=True)
+def _drop_interfaces_at_module_end():
+    yield
+    _IFACES.clear()
+
+
+def _interface_for(variant, tmp_path):
+    """Build (or reuse) the variant's VegaInterface with the exact
+    dense pipeline (grid collapse off; the caller keeps the env pinned
+    for the duration of the test, so later traces stay dense too)."""
+    if variant not in _IFACES:
+        from vega_tpu.vega_interface import VegaInterface
+        main_ini = build_variant(variant, tmp_path)
+        cwd = os.getcwd()
+        os.chdir(REF / 'tests')
+        try:
+            _IFACES[variant] = VegaInterface(str(main_ini))
+        finally:
+            os.chdir(cwd)
+    return _IFACES[variant]
+
+
+def _canonical_names(entry):
+    """Union of every sampled name appearing in the variant's golden
+    entry (points, scan rows, fit vector)."""
+    names = set()
+    for point in entry.get('points', ()):
+        names |= set(point['params'])
+    fit = entry.get('fit')
+    if fit is not None:
+        names |= set(fit['names'])
+    scan = entry.get('scan')
+    if scan is not None:
+        for row in scan['rows']:
+            names |= set(row['values'])
+            names |= set(row) - {'values', 'fval'}
+    return names
+
+
+def _fill_defaults(vega, names, params):
+    """Extend ``params`` to the canonical key set, filling absent names
+    explicitly at their config defaults — the same values both the
+    reference and the parameter collapse would use implicitly."""
+    full = dict(params)
+    for name in names:
+        if name not in full:
+            assert name in vega.params, \
+                f'canonical name {name} has no config default'
+            full[name] = float(vega.params[name])
+    return full
+
+
 @pytest.mark.parametrize('variant', sorted(VARIANTS))
 def test_variant_parity_with_live_reference(variant, goldens, tmp_path,
                                             monkeypatch):
@@ -70,26 +141,21 @@ def test_variant_parity_with_live_reference(variant, goldens, tmp_path,
         pytest.skip(f'no golden for {variant} yet — regenerate with '
                     'tests/tools/make_reference_variant_goldens.py')
     monkeypatch.setenv('VEGA_TPU_GRID_COLLAPSE', '0')
-    main_ini = build_variant(variant, tmp_path)
+    entry = goldens[variant]
     tol = VARIANTS[variant].get('chi2_abs_tol', 2e-6)
 
-    from vega_tpu.vega_interface import VegaInterface
-    cwd = os.getcwd()
-    os.chdir(REF / 'tests')
-    try:
-        vega = VegaInterface(str(main_ini))
-        for entry in goldens[variant]['points']:
-            params = dict(entry['params'])
-            assert vega.chi2(params) == pytest.approx(
-                entry['chi2'], rel=1e-6, abs=tol), \
-                f'{variant}: chi2 mismatch at {params}'
-        first = goldens[variant]['points'][0]
-        # |delta log_lik| = |delta chi2| / 2 at fixed covariance
-        assert vega.log_lik(dict(first['params'])) == pytest.approx(
-            first['log_lik'], rel=1e-9, abs=tol / 2), \
-            f'{variant}: log_lik mismatch'
-    finally:
-        os.chdir(cwd)
+    vega = _interface_for(variant, tmp_path)
+    names = _canonical_names(entry)
+    for point in entry['points']:
+        params = _fill_defaults(vega, names, point['params'])
+        assert vega.chi2(params) == pytest.approx(
+            point['chi2'], rel=1e-6, abs=tol), \
+            f'{variant}: chi2 mismatch at {point["params"]}'
+    first = entry['points'][0]
+    # |delta log_lik| = |delta chi2| / 2 at fixed covariance
+    assert vega.log_lik(_fill_defaults(vega, names, first['params'])) \
+        == pytest.approx(first['log_lik'], rel=1e-9, abs=tol / 2), \
+        f'{variant}: log_lik mismatch'
 
 
 SCAN_VARIANTS = sorted(v for v in VARIANTS if 'scan' in VARIANTS[v])
@@ -110,7 +176,6 @@ def test_variant_scan_parity_with_live_reference(variant, goldens,
         pytest.skip(f'no scan golden for {variant} yet — regenerate with '
                     'tests/tools/make_reference_variant_goldens.py')
     monkeypatch.setenv('VEGA_TPU_GRID_COLLAPSE', '0')
-    main_ini = build_variant(variant, tmp_path)
     spec = VARIANTS[variant]['scan']
     if 'param' in spec:          # legacy 1D golden format
         scanned = [spec['param']]
@@ -119,42 +184,37 @@ def test_variant_scan_parity_with_live_reference(variant, goldens,
         scanned = list(spec['params'])
         grids = spec['grids']
 
-    from vega_tpu.vega_interface import VegaInterface
-    cwd = os.getcwd()
-    os.chdir(REF / 'tests')
-    try:
-        vega = VegaInterface(str(main_ini))
-        # chi2-FUNCTION parity at every per-point reference minimum
-        # (floor: see test_variant_parity_with_live_reference)
-        for row in scan['rows']:
-            point = dict(row['values'])
-            point.update({p: row[p] for p in scanned})
-            assert vega.chi2(point) == pytest.approx(
-                row['fval'], rel=1e-6, abs=2e-6), \
-                f'{variant}: chi2 mismatch at {point}'
+    vega = _interface_for(variant, tmp_path)
+    names = _canonical_names(goldens[variant])
+    # chi2-FUNCTION parity at every per-point reference minimum
+    # (floor: see test_variant_parity_with_live_reference)
+    for row in scan['rows']:
+        point = dict(row['values'])
+        point.update({p: row[p] for p in scanned})
+        assert vega.chi2(_fill_defaults(vega, names, point)) \
+            == pytest.approx(row['fval'], rel=1e-6, abs=2e-6), \
+            f'{variant}: chi2 mismatch at {point}'
 
-        # our own scan driver over the same grid (C order both sides)
-        vega.main_config['chi2 scan'] = {
-            p: f'{grids[p][0]} {grids[p][-1]} {len(grids[p])}'
-            for p in scanned}
-        ours = vega.analysis.chi2_scan()
-        assert len(ours) == len(scan['rows'])
-        for mine, ref in zip(ours, scan['rows']):
-            fixed = {p: ref[p] for p in scanned}
-            for p in scanned:
-                assert mine[p] == pytest.approx(ref[p], abs=1e-12)
-            # at least as low as the reference's tightly-converged
-            # profile point (up to our scan's convergence floor), and
-            # in the same basin (not spuriously lower)
-            assert mine['fval'] <= ref['fval'] + 2e-5, \
-                f'{variant}: profile above reference at {fixed}'
-            assert mine['fval'] >= ref['fval'] - 2.5e-4
-            for name in scan['minimize']:
-                assert mine[name] == pytest.approx(ref['values'][name],
-                                                   abs=5e-3), \
-                    f'{variant}: scan param mismatch for {name} at {fixed}'
-    finally:
-        os.chdir(cwd)
+    # our own scan driver over the same grid (C order both sides)
+    vega.main_config['chi2 scan'] = {
+        p: f'{grids[p][0]} {grids[p][-1]} {len(grids[p])}'
+        for p in scanned}
+    ours = vega.analysis.chi2_scan()
+    assert len(ours) == len(scan['rows'])
+    for mine, ref in zip(ours, scan['rows']):
+        fixed = {p: ref[p] for p in scanned}
+        for p in scanned:
+            assert mine[p] == pytest.approx(ref[p], abs=1e-12)
+        # at least as low as the reference's tightly-converged
+        # profile point (up to our scan's convergence floor), and
+        # in the same basin (not spuriously lower)
+        assert mine['fval'] <= ref['fval'] + 2e-5, \
+            f'{variant}: profile above reference at {fixed}'
+        assert mine['fval'] >= ref['fval'] - 2.5e-4
+        for name in scan['minimize']:
+            assert mine[name] == pytest.approx(ref['values'][name],
+                                               abs=5e-3), \
+                f'{variant}: scan param mismatch for {name} at {fixed}'
 
 
 FIT_VARIANTS = sorted(v for v in VARIANTS if 'fit' in VARIANTS[v])
@@ -173,39 +233,38 @@ def test_variant_fit_parity_with_live_reference(variant, goldens, tmp_path,
         pytest.skip(f'no fit golden for {variant} yet — regenerate with '
                     'tests/tools/make_reference_variant_goldens.py')
     monkeypatch.setenv('VEGA_TPU_GRID_COLLAPSE', '0')
-    main_ini = build_variant(variant, tmp_path)
     ref_best = dict(zip(fit['names'], fit['values']))
     bounds = VARIANTS[variant]['fit']['bounds']
 
-    from vega_tpu.vega_interface import VegaInterface
+    vega = _interface_for(variant, tmp_path)
+    names = _canonical_names(goldens[variant])
+    # chi2-FUNCTION parity at the reference's minimum (floor: see
+    # test_variant_parity_with_live_reference)
+    assert vega.chi2(_fill_defaults(vega, names, ref_best)) \
+        == pytest.approx(fit['fval'], rel=1e-6, abs=2e-6)
+    # our exact gradient is feasibly flat at their minimum: project
+    # out components blocked by an active bound, as the EDM does
+    grads = vega.chi2_gradient(dict(ref_best))
+    for name in fit['names']:
+        g = grads[name]
+        lo, hi = bounds[name]
+        x = ref_best[name]
+        eps = 1e-8 * max(1.0, abs(x))
+        if (lo is not None and x <= lo + eps and g > 0) or \
+           (hi is not None and x >= hi - eps and g < 0):
+            continue
+        assert abs(g) < 5e-4, \
+            f'{variant}: gradient not flat at ref minimum for {name}'
+    # our own fit reaches the same point, at least as low
     cwd = os.getcwd()
     os.chdir(REF / 'tests')
     try:
-        vega = VegaInterface(str(main_ini))
-        # chi2-FUNCTION parity at the reference's minimum (floor: see
-        # test_variant_parity_with_live_reference)
-        assert vega.chi2(dict(ref_best)) == pytest.approx(
-            fit['fval'], rel=1e-6, abs=2e-6)
-        # our exact gradient is feasibly flat at their minimum: project
-        # out components blocked by an active bound, as the EDM does
-        grads = vega.chi2_gradient(dict(ref_best))
-        for name in fit['names']:
-            g = grads[name]
-            lo, hi = bounds[name]
-            x = ref_best[name]
-            eps = 1e-8 * max(1.0, abs(x))
-            if (lo is not None and x <= lo + eps and g > 0) or \
-               (hi is not None and x >= hi - eps and g < 0):
-                continue
-            assert abs(g) < 5e-4, \
-                f'{variant}: gradient not flat at ref minimum for {name}'
-        # our own fit reaches the same point, at least as low
         vega.minimize()
-        values = dict(vega.bestfit.values)
-        for name in fit['names']:
-            assert values[name] == pytest.approx(ref_best[name],
-                                                 abs=2e-3), \
-                f'{variant}: best-fit mismatch for {name}'
-        assert vega.bestfit.fmin.fval <= fit['fval'] + 1e-6
     finally:
         os.chdir(cwd)
+    values = dict(vega.bestfit.values)
+    for name in fit['names']:
+        assert values[name] == pytest.approx(ref_best[name],
+                                             abs=2e-3), \
+            f'{variant}: best-fit mismatch for {name}'
+    assert vega.bestfit.fmin.fval <= fit['fval'] + 1e-6

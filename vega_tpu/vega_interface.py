@@ -868,20 +868,12 @@ class VegaInterface:
 
     def chi2_gradient(self, params):
         """Exact d(chi^2)/d(theta) for the sampled parameters via jax.grad
-        — replaces MINUIT's finite-difference gradient evaluations."""
-        if not hasattr(self, '_jit_chi2_grad') or self._jit_chi2_grad is None:
-            self._ensure_static_refs()
-            self._jit_chi2_grad = jax.jit(jax.grad(
-                lambda p, dv, cs, st, co:
-                self._chi2_graph_bound(p, dv, cs, st, co,
-                                       exact_grid=True)[0]))
-        collapsed = self.get_collapsed(params.keys())
-        device_ctx, statics, co, data_vecs = self._serial_backend(collapsed)
-        with device_ctx:
-            grads = self._jit_chi2_grad(
-                {k: float(v) for k, v in params.items()},
-                data_vecs, self._current_cov_scales(), statics, co)
-        return {k: float(v) for k, v in grads.items()}
+        — replaces MINUIT's finite-difference gradient evaluations.
+
+        Shares the value_and_grad graph with chi2_value_and_gradient
+        (the value is free in reverse mode), so a workflow that asks for
+        gradients and then fits pays ONE derivative-graph compile."""
+        return self.chi2_value_and_gradient(params)[1]
 
     def chi2_value_grad_hess(self, params):
         """(chi^2, gradient, Hessian) from ONE jitted graph — used by the
@@ -1035,7 +1027,6 @@ class VegaInterface:
                 self._jit_model = None
                 self._jit_chi2 = None
                 self._jit_chi2_valgrad = None
-                self._jit_chi2_grad = None
                 self._jit_chi2_vgh = None
                 self._valgrad_keys = None
                 self._hess_cache = {}
