@@ -2,13 +2,16 @@
 
 PYTHON ?= python
 
-.PHONY: test test-fast bench lint tutorial
+.PHONY: test test-fast test-slow bench lint tutorial
 
 test:
 	$(PYTHON) -m pytest tests/ -x -q
 
 test-fast:
 	$(PYTHON) -m pytest tests/ -x -q -m "not slow"
+
+test-slow:
+	$(PYTHON) -m pytest tests/ -x -q -m "slow" --durations=25
 
 bench:
 	$(PYTHON) bench.py
