@@ -108,14 +108,21 @@ def _canonical_names(entry):
 
 
 def _fill_defaults(vega, names, params):
-    """Extend ``params`` to the canonical key set, filling absent names
-    explicitly at their config defaults — the same values both the
-    reference and the parameter collapse would use implicitly."""
+    """Extend ``params`` toward the canonical key set, filling absent
+    names explicitly at their config defaults — numerically identical
+    to the implicit fill, because the interface starts every evaluation
+    from ``self.params`` and overlays the sampled values.
+
+    Names with NO config default are skipped, not invented: their
+    fallback lives inside the model code, and absence can even select a
+    different branch (``model.py`` precomputes the DESI-syst template
+    when ``desi_inst_sys_amp`` is unsampled), so the only faithful
+    treatment is to keep them out of the key set unless the golden
+    point itself samples them. Such variants trace one extra graph for
+    the points that do sample the implicit-default name."""
     full = dict(params)
     for name in names:
-        if name not in full:
-            assert name in vega.params, \
-                f'canonical name {name} has no config default'
+        if name not in full and name in vega.params:
             full[name] = float(vega.params[name])
     return full
 
