@@ -169,16 +169,21 @@ def main():
     compile_time = time.time() - t0
     assert np.all(np.isfinite(chi2)), 'non-finite chi2 in benchmark'
 
-    # Timed runs
+    # Timed runs: per-round rates, median reported. The tunnel has
+    # ~±15% run-to-run variance and occasional multi-second stalls
+    # (docs/performance.md "Timing methodology"); the median of 5
+    # per-round rates is robust to one stalled round where the mean
+    # over a single wall-clock interval is not.
     n_rounds = 2 if smoke else 5
-    t0 = time.time()
+    rates = []
     for i in range(n_rounds):
         for name in batches:
             batches[name] = batches[name] + 1e-6  # defeat caching
+        t0 = time.time()
         chi2 = bl.chi2(batches)
-    elapsed = time.time() - t0
+        rates.append(batch_size / (time.time() - t0))
 
-    evals_per_sec = n_rounds * batch_size / elapsed
+    evals_per_sec = float(np.median(rates))
     evals_per_sec_per_chip = evals_per_sec / n_devices
 
     result = {
