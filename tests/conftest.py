@@ -18,3 +18,11 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
+
+# NOTE: the XLA persistent compilation cache (jax_compilation_cache_dir)
+# was evaluated for the compile-dominated slow tier and rejected on this
+# image: XLA:CPU AOT reload reports a compile-host/run-host machine-
+# feature mismatch (+prefer-no-scatter/+prefer-no-gather), warns of
+# possible SIGILL, and measured SLOWER than a fresh compile. The
+# grid-payload disk cache (gridcollapse.payload_cache_dir) covers the
+# expensive node sweeps instead.
