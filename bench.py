@@ -20,10 +20,10 @@ of the two regimes from benchmarks/reference_baseline.json (generous
 to the reference), falling back to a conservative 10 evals/s if the
 measurement file is missing.
 
-Measured on the v5e (2026-08-19, per-call result-fetch timing — see
+Measured on the v5e (2026-08-20, per-call result-fetch timing — see
 docs/performance.md "Timing methodology"; every timed call here ships
 the batch to device and fetches the chi^2 vector back to host), f64:
-28169 evals/s/chip at batch 8192 with (ap, at, bias_eta_LYA, beta_LYA)
+31065 evals/s/chip at batch 8192 with (ap, at, bias_eta_LYA, beta_LYA)
 all in the batch — the BAO-sampling regime, served by the Chebyshev
 grid collapse (vega_tpu/gridcollapse.py) AT THE SHIPPED PRODUCTION
 SETTINGS (+/-0.25 alpha domain, 32 nodes/dim; rounds 2-3 benched a
