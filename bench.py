@@ -108,11 +108,41 @@ def main():
     from vega_tpu.vega_interface import VegaInterface
     from vega_tpu.parallel import BatchedLikelihood, make_device_mesh
 
+    # VEGA_TPU_BENCH_TABLE6=1: the FULL Table-6 sampled regime — all
+    # 13 parameters the reference's own DR16 combined fit samples
+    # (reference examples/eBOSS_DR16/main_combined.ini [sample],
+    # bias_eta naming per the test config) in the batch, with the four
+    # nonlinear scale parameters (ap, at, drp_QSO,
+    # sigma_velo_disp_lorentz_QSO) served by the 4-dim grid collapse
+    # (anisotropic combination schedule, production domains: +/-0.25
+    # alphas, drp [-3, 3], sigma [0, 15]; accuracy measured by
+    # benchmarks/table6_accuracy.py). Requires the reference checkout.
+    bench_table6 = os.environ.get('VEGA_TPU_BENCH_TABLE6', '0') == '1'
+
     # Prefer the reference DR16-subset config (the BASELINE headline).
     # Init-time INFO prints go to stderr so stdout carries only the JSON.
     with contextlib.redirect_stdout(sys.stderr):
         ref_config = '/root/reference/tests/full_configs/main.ini'
-        if os.path.isdir('/root/reference/tests') and not smoke:
+        if bench_table6 and os.path.isdir('/root/reference/tests') \
+                and not smoke:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), 'benchmarks'))
+            import tempfile
+            from table6_accuracy import patch_config
+            workdir = tempfile.mkdtemp(prefix='vega_tpu_bench_t6_')
+            patch_config(workdir)
+            os.chdir(workdir)
+            vega = VegaInterface('full_configs/main.ini')
+            sampled = {
+                'bias_eta_LYA': -0.2008, 'beta_LYA': 1.67,
+                'bias_hcd': -0.05, 'beta_hcd': 0.7, 'beta_QSO': 0.255,
+                'drp_QSO': 0.0, 'sigma_velo_disp_lorentz_QSO': 6.86,
+                'bias_eta_SiII(1190)': -0.0026,
+                'bias_eta_SiII(1193)': -0.0012,
+                'bias_eta_SiIII(1207)': -0.0037,
+                'bias_eta_SiII(1260)': -0.0023,
+            }
+        elif os.path.isdir('/root/reference/tests') and not smoke:
             os.chdir('/root/reference/tests')
             vega = VegaInterface(ref_config)
             sampled = {'bias_eta_LYA': -0.2008, 'beta_LYA': 1.67}
@@ -191,7 +221,9 @@ def main():
         'value': round(evals_per_sec_per_chip, 3),
         'unit': f'evals/s/chip (batch={batch_size}, {precision}, '
                 f'{n_devices} chip(s), collapse={sweep_time:.1f}s, '
-                f'compile={compile_time:.1f}s{device_fallback})',
+                f'compile={compile_time:.1f}s'
+                f'{", Table-6 full sampled set" if bench_table6 else ""}'
+                f'{device_fallback})',
         'vs_baseline': round(evals_per_sec_per_chip
                              / reference_evals_per_sec(), 3),
     }

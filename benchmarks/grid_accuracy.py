@@ -40,7 +40,7 @@ def main():
     jax.config.update('jax_platforms', 'cpu')
     jax.config.update('jax_enable_x64', True)
 
-    from vega_tpu.gridcollapse import _select_modes, _probe_psi
+    from vega_tpu.gridcollapse import select_payload_modes
     from vega_tpu.vega_interface import VegaInterface
 
     os.chdir('/root/reference/tests')
@@ -98,8 +98,14 @@ def main():
     # interpolant evaluation at the chi2 points (exact linear algebra)
     corr_names = [k for k in payload if k != '__grid__']
     coefs = {}
+    dc_maxes = {}
     for name in corr_names:
-        coefs[name] = payload[name]['B'] @ payload[name]['F']
+        # budget 0 => both blocks keep every mode in ascending order, so
+        # the two blocks reassemble into the full coefficient matrix
+        coefs[name] = np.concatenate(
+            [payload[name]['B_A'] @ payload[name]['F_A'],
+             payload[name]['B_sy'] @ payload[name]['F_sy']], axis=1)
+        dc_maxes[name] = float(payload[name]['dc_max'])
 
     def tvals(x, deg):
         tv = np.empty(deg)
@@ -127,28 +133,37 @@ def main():
         for name in corr_names:
             coef = coefs[name]
             t = payload[name]['cref'].shape[0]
-            kept = _select_modes(coef, t, spec, budget)
-            mask = np.zeros(coef.shape[0], bool)
-            mask[kept] = True
+            dc_max = dc_maxes[name]
+            kept_a, kept_sy = select_payload_modes(
+                coef, t, spec, budget, dc_max)
+            mask_a = np.zeros(coef.shape[0], bool)
+            mask_a[kept_a] = True
+            mask_sy = np.zeros(coef.shape[0], bool)
+            mask_sy[kept_sy] = True
             # truncation error of the full payload row at the points:
-            # ds, dy, dA -> chi2 error at the ACTUAL dc of the points is
-            # bounded by the probe-validated criterion; report the
-            # dc=0-centered pieces (|ds| dominates near the best fit)
-            delta = (psis * ~mask) @ coef
-            ds = np.abs(delta[:, t * t + t]).max()
-            dy = np.linalg.norm(delta[:, t * t:t * t + t], axis=1).max()
-            da = np.linalg.norm(delta[:, :t * t], axis=1).max()
+            # ds, dy, dA -> chi2 error bounded UNCONDITIONALLY over the
+            # measured coefficient range by
+            # |ds| + 2 dc_max ||dy|| + dc_max^2 ||dA||_F
+            delta_a = (psis * ~mask_a) @ coef[:, :t * t]
+            delta_sy = (psis * ~mask_sy) @ coef[:, t * t:]
+            ds = np.abs(delta_sy[:, t]).max()
+            dy = np.linalg.norm(delta_sy[:, :t], axis=1).max()
+            da = np.linalg.norm(delta_a, axis=1).max()
             ent['per_corr'][name] = {
-                'kept': int(kept.size),
+                'kept_A': int(kept_a.size),
+                'kept_sy': int(kept_sy.size),
                 'of': int(coef.shape[0]),
-                'rank': int(payload[name]['B'].shape[1]),
+                'rank_A': int(payload[name]['B_A'].shape[1]),
+                'rank_sy': int(payload[name]['B_sy'].shape[1]),
+                'dc_max': dc_max,
                 'max_ds': float(ds),
                 'max_dy_norm': float(dy),
                 'max_dA_fro': float(da),
             }
-            max_trunc = max(max_trunc, float(ds + 2 * dy + da))
+            max_trunc = max(max_trunc,
+                            float(ds + 2 * dc_max * dy + dc_max ** 2 * da))
         ent['select_s'] = round(time.time() - t0, 1)
-        ent['max_chi2_err_bound_dc1'] = max_trunc
+        ent['max_chi2_err_bound_dcmax'] = max_trunc
         result['budgets'][f'{budget:g}'] = ent
 
     out = os.environ.get('VEGA_TPU_GRID_ACCURACY_OUT') or os.path.join(

@@ -54,7 +54,8 @@ def main():
     payload = vega.get_collapsed(frozenset(sampled))
     spec = payload['__grid__']
     names = [n for n in payload if n != '__grid__']
-    print('payload:', {n: (payload[n]['B'].shape, payload[n]['F'].shape)
+    print('payload:', {n: (payload[n]['B_A'].shape, payload[n]['F_A'].shape,
+                           payload[n]['B_sy'].shape, payload[n]['F_sy'].shape)
                        for n in names})
 
     rng = np.random.default_rng(0)
@@ -81,7 +82,8 @@ def main():
             tv, exc = grid_tvecs(spec, {'ap': a, 'at': t})
             out = exc
             for n in names:
-                out = out + psi_from_modes(tv, dev_payload[n]['modes']).sum()
+                out = out + psi_from_modes(tv, dev_payload[n]['modes_A']).sum()
+                out = out + psi_from_modes(tv, dev_payload[n]['modes_sy']).sum()
             return out
         return jax.vmap(one)(b['ap'], b['at'])
 
@@ -90,8 +92,10 @@ def main():
             tv, _ = grid_tvecs(spec, {'ap': a, 'at': t})
             out = 0.
             for n in names:
-                psi = psi_from_modes(tv, pl[n]['modes'])
-                out = out + (psi @ pl[n]['B']).sum()
+                psi = psi_from_modes(tv, pl[n]['modes_A'])
+                out = out + (psi @ pl[n]['B_A']).sum()
+                psi_sy = psi_from_modes(tv, pl[n]['modes_sy'])
+                out = out + (psi_sy @ pl[n]['B_sy']).sum()
             return out
         return jax.vmap(one)(b['ap'], b['at'])
 
@@ -100,8 +104,10 @@ def main():
             tv, _ = grid_tvecs(spec, {'ap': a, 'at': t})
             out = 0.
             for n in names:
-                psi = psi_from_modes(tv, pl[n]['modes'])
-                out = out + ((psi @ pl[n]['B']) @ pl[n]['F']).sum()
+                psi = psi_from_modes(tv, pl[n]['modes_A'])
+                out = out + ((psi @ pl[n]['B_A']) @ pl[n]['F_A']).sum()
+                psi_sy = psi_from_modes(tv, pl[n]['modes_sy'])
+                out = out + ((psi_sy @ pl[n]['B_sy']) @ pl[n]['F_sy']).sum()
             return out
         return jax.vmap(one)(b['ap'], b['at'])
 

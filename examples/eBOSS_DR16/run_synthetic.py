@@ -62,25 +62,32 @@ SAMPLED = ['ap', 'at', 'bias_LYA', 'beta_LYA']
 
 # The full Table-6-style sampled set (reference:
 # examples/eBOSS_DR16/main_combined.ini [sample]): BAO + Lya bias/RSD +
-# HCD + the metal biases + the QSO cross nuisances. drp_QSO is served
-# by the grid collapse automatically (known grid parameter);
-# sigma_velo_disp_lorentz_QSO is deliberately left un-designated so the
-# combined fit exercises the mixed route — collapsed/grid autos, dense
-# crosses — that a real DR16 run takes out of the box.
+# HCD + the metal biases + the QSO cross nuisances. ALL FOUR nonlinear
+# scale parameters (ap, at, drp_QSO, sigma_velo_disp_lorentz_QSO) are
+# known grid parameters, so the whole set rides the grid-collapse fast
+# path out of the box — ap/at on the production +-0.25 window, drp and
+# sigma over their full sampling limits ([-3, 3] and [0, 15]). The
+# 4-dim node tensor would be ~147k sweep evaluations; the anisotropic
+# combination schedule (gridcollapse.plan_components) sweeps ~8k
+# instead, with the payload validated against held-out exact collapse
+# points (probe_err) at build time.
 SAMPLED_FULL = SAMPLED + [
     'bias_hcd', 'beta_hcd',
     'bias_SiII(1260)', 'bias_SiIII(1207)',
     'drp_QSO', 'sigma_velo_disp_lorentz_QSO',
 ]
 
-# Grid-collapse budget for the full-set fit: narrow (ap, at) node
-# domains around the expected minimum and a tight drp window keep the
-# one-time Chebyshev sweep affordable at the same node spacing (= same
-# interpolation accuracy) as the production defaults.
-CONTROL_FULL = {
-    'grid-domain-pad': '0.08',
-    'grid-nodes-ap': '12', 'grid-nodes-at': '12',
-    'grid-domain-drp_QSO': '-0.6 0.6', 'grid-nodes-drp_QSO': '8',
+# Production run: the defaults ARE the production settings — no
+# narrowing needed since the combination schedule keeps the sweep
+# affordable.
+CONTROL_FULL = {}
+
+# CI-sized node budget for the slow-tier test (tests/test_dr16_example
+# .py): same code path (4-dim combination schedule), ~2k swept nodes.
+CONTROL_FULL_TEST = {
+    'grid-nodes-ap': '16', 'grid-nodes-at': '16',
+    'grid-nodes-drp_QSO': '8',
+    'grid-nodes-sigma_velo_disp_lorentz_QSO': '6',
 }
 
 CORRS = {                     # name -> (file stem, is_cross)

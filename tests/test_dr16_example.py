@@ -48,11 +48,15 @@ def test_dr16_combined_and_global_cov(tmp_path):
 
 def test_dr16_full_parameter_set(tmp_path):
     """The full Table-6-style sampled set (BAO + HCD + metal biases +
-    QSO cross nuisances, 10 parameters) fits end-to-end through the
-    MIXED execution route a real DR16 run takes: drp_QSO rides the grid
-    collapse with (ap, at), sigma_velo_disp_lorentz_QSO is un-designated
-    so the crosses run the dense path, and the HCD/metal/bias parameters
-    stay collapsed coefficients (division-free Kaiser)."""
+    QSO cross nuisances, 10 parameters) fits end-to-end ENTIRELY on the
+    grid-collapse fast path: all four nonlinear scale parameters
+    (ap, at, drp_QSO, sigma_velo_disp_lorentz_QSO) are grid dimensions
+    — the 4-dim node schedule is the anisotropic combination
+    (gridcollapse.plan_components) — and the HCD/metal/bias parameters
+    stay collapsed coefficients (division-free Kaiser). This is the
+    execution route a real DR16 combined run takes out of the box
+    (reference examples/eBOSS_DR16/main_combined.ini samples exactly
+    these scale parameters)."""
     ex = _load_example()
     nt = 12
 
@@ -62,7 +66,19 @@ def test_dr16_full_parameter_set(tmp_path):
     fmains = ex.build_configs(
         tmp_path, nt, extension='full',
         fit_types={'combined': ex.FIT_TYPES['combined']},
-        sample_params=ex.SAMPLED_FULL, control_extra=ex.CONTROL_FULL)
+        sample_params=ex.SAMPLED_FULL,
+        control_extra=ex.CONTROL_FULL_TEST)
+    from vega_tpu.vega_interface import VegaInterface
+    vega = VegaInterface(fmains['combined'])
+    payload = vega.get_collapsed(tuple(ex.SAMPLED_FULL))
+    spec = payload.get('__grid__')
+    assert spec is not None
+    assert set(spec.names) == {'ap', 'at', 'drp_QSO',
+                               'sigma_velo_disp_lorentz_QSO'}
+    # every correlation — crosses included — is grid-served
+    assert sorted(k for k in payload if k != '__grid__') \
+        == sorted(vega.corr_items)
+
     values, errors = ex.run_fit('combined-full-params',
                                 fmains['combined'],
                                 sampled=ex.SAMPLED_FULL)

@@ -12,11 +12,16 @@ same error model as the MXU:
   results only at the f32-accumulation level, not the f64 level);
 - vmap batching (the production use: per-eval psi vectors lifted to a
   batch matmul);
-- end-to-end: grid-collapse chi^2 with VEGA_TPU_DS_MATMUL=1 agrees
-  with the exact-f64 grid path at the measured ~1e-4 RELATIVE level
-  (the payload norms are set by the domain-edge chi^2, so the DS error
-  scales with chi^2 — this is why the mode is opt-in, not default; see
-  ops/ds_matmul.py).
+- end-to-end: grid-collapse chi^2 with DS on (the default) agrees with
+  the exact-f64 grid path at the measured ~1e-7 RELATIVE level. The
+  split payload is what buys this: only the A block (curvature
+  tensors, uniform magnitude over the domain) runs double-single,
+  while the (s, y) block — whose norms are set by the domain-EDGE
+  chi^2 and used to drag the whole-payload DS error to ~1e-4 relative
+  — contracts in exact f64 (gridcollapse.finalize_corr_payload,
+  grid_corr_chi2). Measured 2026-08-20 on the synthetic cross config,
+  points spanning the full +-0.2 (ap, at) domain: max rel 1.06e-7,
+  max abs 1.6e-3 at chi2 ~ 5e5.
 
 The reference has no analogue (pure-numpy f64 on CPU; SURVEY.md
 section 2.2) — this is a TPU-hardware consequence.
@@ -171,8 +176,8 @@ def test_grid_chi2_with_ds_matmul(monkeypatch):
     ds = BatchedLikelihood(VegaInterface(main_path)).chi2(batches)
 
     assert np.all(np.isfinite(ds))
-    # measured on this setup (default +-0.25 domain, 64 nodes/dim):
-    # max relative error ~1.1e-4 — the error scales with the chi^2
-    # magnitude because the payload norms are set by the domain-edge
-    # chi^2; ~4x headroom on the measured value
-    np.testing.assert_allclose(ds, exact, rtol=4e-4, atol=1.5e-2)
+    # measured on this setup with the split payload (A block DS, sy
+    # block exact f64): max relative error 1.06e-7 over points spanning
+    # the full domain (2026-08-20) — the near-center points used here
+    # sit below that; ~10x headroom on the measured value
+    np.testing.assert_allclose(ds, exact, rtol=1e-6, atol=1e-3)

@@ -44,10 +44,16 @@ def grid_setup():
     # (ap, at) is far sharper than real data's — pin 64 nodes/dim (the
     # 5e-3 bound below was measured there). The shipped default (32) is
     # exercised at its measured 1.7e-10 bound on the REFERENCE config by
-    # tests/test_grid_reference_accuracy.py.
+    # tests/test_grid_reference_accuracy.py. DS-matmul off: the exact-
+    # reassociation invariants below (batched == serial at rtol 1e-12)
+    # hold for the f64 contractions; the double-single A-block path has
+    # its own accuracy ladder in tests/test_ds_matmul.py (f32 MXU
+    # accumulation order differs between the serial vector and batched
+    # matrix forms, so DS batched-vs-serial agrees at ~1e-7, not 1e-15).
     main_path = make_synthetic_dataset(
         workdir, cross=True, sample=sample,
-        extra_control='grid-nodes-ap = 64\ngrid-nodes-at = 64')
+        extra_control=('grid-nodes-ap = 64\ngrid-nodes-at = 64\n'
+                       'ds-matmul = False'))
     return VegaInterface(main_path), main_path
 
 
@@ -73,21 +79,28 @@ def test_payload_structure(grid_setup):
     corrs = [k for k in payload if k != '__grid__']
     assert sorted(corrs) == sorted(vega.corr_items)
     for name in corrs:
-        n_modes, rank = payload[name]['B'].shape
         t = payload[name]['cref'].shape[0]
-        # error-budgeted mode truncation indexes the retained modes via
-        # 'modes'. On THIS config (near-noiseless synthetic data, domain
-        # -corner chi^2 ~ 1e8) the validated criterion legitimately
-        # keeps everything — the budget is honored, not assumed; the
-        # reference-config accuracy test measures the actual cut
-        # (tests/test_grid_reference_accuracy.py).
-        assert 1 <= n_modes <= spec.n_nodes
-        modes = payload[name]['modes']
-        assert modes.shape == (len(spec.names), n_modes)
-        assert modes.dtype == np.int32
-        for d, deg in enumerate(spec.degrees):
-            assert modes[d].min() >= 0 and modes[d].max() < deg
-        assert payload[name]['F'].shape == (rank, t * t + t + 1)
+        # the payload is stored as two independently truncated and
+        # SVD-compressed blocks: A (curvature, double-single-eligible)
+        # and sy (edge-chi^2-scaled linear term + value, always f64).
+        # Error-budgeted mode truncation indexes the retained modes via
+        # 'modes_A'/'modes_sy'. On THIS config (near-noiseless
+        # synthetic data, domain-corner chi^2 ~ 1e8) the validated
+        # criterion legitimately keeps everything — the budget is
+        # honored, not assumed; the reference-config accuracy test
+        # measures the actual cut (tests/test_grid_reference_accuracy.py).
+        for block, n_cols in (('A', t * t), ('sy', t + 1)):
+            n_modes, rank = payload[name][f'B_{block}'].shape
+            assert 1 <= n_modes <= spec.n_nodes
+            modes = payload[name][f'modes_{block}']
+            assert modes.shape == (len(spec.names), n_modes)
+            assert modes.dtype == np.int32
+            for d, deg in enumerate(spec.degrees):
+                assert modes[d].min() >= 0 and modes[d].max() < deg
+            assert payload[name][f'F_{block}'].shape == (rank, n_cols)
+        # the truncation budget is scaled by the measured coefficient
+        # range over the sampling box (floored at the legacy unit ball)
+        assert float(payload[name]['dc_max']) >= 1.0
 
 
 def test_grid_matches_dense(grid_setup, monkeypatch):
@@ -315,7 +328,8 @@ def test_payload_disk_cache(monkeypatch, tmp_path):
     for name in payload:
         if name == '__grid__':
             continue
-        for part in ('B', 'F', 'cref', 'modes'):
+        for part in ('B_A', 'F_A', 'modes_A', 'B_sy', 'F_sy',
+                     'modes_sy', 'cref'):
             np.testing.assert_array_equal(payload[name][part],
                                           payload2[name][part])
 

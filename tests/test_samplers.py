@@ -78,3 +78,59 @@ def test_smc_sampler_gaussian(tmp_path):
     std_x = results['samples'][:, 0].std()
     assert mean_x == pytest.approx(0.0, abs=0.25)
     assert std_x == pytest.approx(1.0, abs=0.25)
+
+
+@pytest.mark.slow
+def test_nested_device_loop_matches_host_loop(tmp_path):
+    """The fused on-device slice evolution (NestedSampler with a
+    BatchedLikelihood: one jitted fori_loop dispatch per NS iteration,
+    nested.py:_build_device_evolve) targets the same constrained
+    distribution as the host-driven loop: same evidence and posterior
+    moments within the NS statistical scatter. The two paths draw
+    different random streams (jax.random vs numpy), so agreement is
+    statistical, not bitwise."""
+    from vega_tpu.parallel import BatchedLikelihood
+    from vega_tpu.testing import make_synthetic_dataset
+    from vega_tpu.vega_interface import VegaInterface
+
+    main_path = make_synthetic_dataset(
+        tmp_path, cross=False, size='tiny', noise=1.0)
+    vega = VegaInterface(main_path)
+    batched = BatchedLikelihood(vega)
+    limits = {'bias_LYA': (-0.3, -0.01), 'beta_LYA': (0.5, 3.0)}
+
+    results = {}
+    for label, device_loop in (('device', True), ('host', False)):
+        out = tmp_path / f'out_{label}'
+        out.mkdir()
+        config = configparser.ConfigParser()
+        config.optionxform = lambda option: option
+        config['s'] = {'path': str(out), 'name': f'ns_{label}',
+                       'num_live': '100', 'num_repeats': '6',
+                       'precision': '0.05', 'resume': 'False',
+                       'seed': '7', 'device_loop': str(device_loop)}
+        sampler = NestedSampler(config['s'], limits, batched)
+        assert sampler._batched is batched
+        assert sampler.device_loop is device_loop
+        results[label] = sampler.run()
+
+    for r in results.values():
+        assert np.isfinite(r['logz'])
+    assert results['device']['logz'] == pytest.approx(
+        results['host']['logz'], abs=3.0 * max(
+            results['device']['logz_err'], results['host']['logz_err'],
+            0.1))
+    for i in range(2):
+        means = {}
+        stds = {}
+        for label, r in results.items():
+            means[label] = np.average(r['samples'][:, i],
+                                      weights=r['weights'])
+            stds[label] = np.sqrt(np.average(
+                (r['samples'][:, i] - means[label]) ** 2,
+                weights=r['weights']))
+        scale = max(stds.values())
+        assert means['device'] == pytest.approx(means['host'],
+                                                abs=3.0 * scale)
+        assert stds['device'] == pytest.approx(stds['host'],
+                                               rel=0.6)

@@ -28,17 +28,21 @@ the per-chunk partial sums are accumulated in f64.
 
 The result is a matmul with ~1e-7..1e-6 norm-scaled accuracy at ~1/3
 of the chip's f32 matmul throughput — vs 2^-53 at emulated-f64 speed.
-Caveat that keeps this OPT-IN for the grid-collapse contractions: the
-error is relative to the operand NORMS, and the grid payload's norms
-are set by the domain-EDGE chi^2 (which grows quadratically away from
-the best fit), not the center value — measured end-to-end chi^2 error
-is ~1e-4 relative on the default +-0.25 domain (tests/test_ds_matmul.py),
-vs the ~1e-6-relative Chebyshev ripple of the grid path itself. And
-because the production hot loop is dominated by per-call dispatch over
-this image's TPU tunnel rather than matmul FLOPs, the measured win is
-+24% (v5e, batch 2048), not the ~100x the FLOP ratio would suggest.
-See ds_matmul_default in gridcollapse.py and
-VegaInterface.use_ds_matmul for the control.
+The error is relative to the operand NORMS, which is why the grid
+collapse stores its payload as two blocks and routes only the A block
+(curvature tensors, uniform magnitude over the node domain, ~97% of
+the FLOPs) through this kernel: the (s, y) block's norms are set by
+the domain-EDGE chi^2 (which grows quadratically away from the best
+fit) and contract in exact f64 instead
+(gridcollapse.finalize_corr_payload / grid_corr_chi2). With that
+split the measured end-to-end chi^2 error is ~1e-7 relative over the
+full default +-0.25 domain (tests/test_ds_matmul.py; whole-payload DS
+measured ~1e-4 in round 4) — below the grid path's own Chebyshev
+ripple, so DS is ON by default. Because the production hot loop is
+dominated by per-call dispatch over this image's TPU tunnel rather
+than matmul FLOPs, the measured win is +24% (v5e, batch 2048), not
+the ~100x the FLOP ratio would suggest. See ds_matmul_default in
+gridcollapse.py and VegaInterface.use_ds_matmul for the control.
 
 Where it is NOT used: the exact collapse (nuisance-only parity path),
 the dense pipeline, and every host-side f64 reduction — those keep

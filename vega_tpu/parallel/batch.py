@@ -193,6 +193,47 @@ class BatchedLikelihood:
             log_lik += self.vega._gaussian_lik_prior(prior[1])
         return log_lik
 
+    def traceable_log_lik(self, names):
+        """(batch_fn, statics, collapsed) for COMPOSITION inside a
+        caller's jit — the device-fused sampler loops (nested.py's
+        on-device slice evolution) build their whole per-iteration
+        update around it, turning O(num_repeats x max_shrink) blocking
+        dispatches per NS iteration into ONE.
+
+        batch_fn(theta, statics, collapsed) -> (n,) log-likelihoods for
+        a (n, ndim) matrix of PHYSICAL parameter values, columns
+        ordered as ``names``; trace-safe (vmapped single-evaluation
+        graph, no host sync). statics / collapsed are the device trees
+        to pass through the caller's jit boundary (host trees when this
+        BatchedLikelihood runs on the CPU backend)."""
+        names = tuple(names)
+        self.vega._ensure_static_refs()
+        data_vecs = {k: jnp.asarray(v) for k, v in
+                     self.vega._current_data_vecs().items()}
+        cov_scales = self.vega._current_cov_scales()
+        log_norm = float(self.vega._log_norm())
+        for prior in self.vega.priors.values():
+            log_norm += float(self.vega._gaussian_lik_prior(prior[1]))
+
+        def single(params, statics, collapsed):
+            chi2 = self.vega._chi2_graph_bound(
+                params, data_vecs, cov_scales, statics, collapsed)[0]
+            return log_norm - 0.5 * chi2
+
+        def batch_fn(theta, statics, collapsed):
+            params = {name: theta[:, i] for i, name in enumerate(names)}
+            return jax.vmap(single, in_axes=(0, None, None))(
+                params, statics, collapsed)
+
+        if self.device == 'cpu':
+            collapsed = self.vega.get_collapsed(names)
+            statics = STATICS.host_tree()
+        else:
+            collapsed = self.vega._device_collapsed(
+                self.vega.get_collapsed(names))
+            statics = STATICS.device_tree()
+        return batch_fn, statics, collapsed
+
 
 def _spd_cholesky(a):
     """Plain-jnp Cholesky, unrolled over the (static, small) dimension.

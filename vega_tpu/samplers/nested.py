@@ -28,7 +28,39 @@ from .sampler_interface import Sampler
 
 
 class NestedSampler(Sampler):
-    """Batched nested sampler with uniform priors."""
+    """Batched nested sampler with uniform priors.
+
+    Accepts either a plain host callable ``log_lik_func`` (dict of
+    parameter batches -> log L array) or a
+    ``vega_tpu.parallel.BatchedLikelihood`` instance. With the latter,
+    the ENTIRE per-iteration slice evolution — num_repeats direction
+    draws x up-to-max_shrink constrained shrink steps, each a batched
+    likelihood — runs as ONE jitted on-device ``lax.fori_loop`` kernel
+    (``device_loop = True``, the default). On this image's tunneled
+    v5e every host->device call costs ~40-100 ms of dispatch+fetch
+    regardless of the work inside, so the host-driven loop pays that
+    O(num_repeats x max_shrink) ~ 10^2 times per NS iteration; the
+    fused kernel pays it ONCE, which is what closes the measured gap
+    between the NS sampling rate and the raw batched-eval rate
+    (docs/performance.md "Sampling on the v5e"). The fused path draws
+    its randomness from jax.random (seeded from the sampler seed +
+    iteration), so chains differ realization-by-realization from the
+    host path while targeting the identical constrained distribution —
+    tests/test_samplers.py asserts posterior/evidence agreement.
+    """
+
+    def __init__(self, sampler_config, limits, log_lik_func,
+                 derived_dict=None):
+        self._batched = None
+        try:
+            from ..parallel.batch import BatchedLikelihood
+            if isinstance(log_lik_func, BatchedLikelihood):
+                self._batched = log_lik_func
+                log_lik_func = self._batched.log_lik
+        except ImportError:                         # pragma: no cover
+            pass
+        super().__init__(sampler_config, limits, log_lik_func,
+                         derived_dict=derived_dict)
 
     def write_parnames(self, parnames_path):
         """The native sampler's chains carry only the sampled parameters
@@ -54,6 +86,11 @@ class NestedSampler(Sampler):
         self.resume = sampler_config.getboolean('resume', True)
         self.checkpoint_every = sampler_config.getint('checkpoint_every', 50)
         self.checkpoint_path = Path(self.path) / (self.name + '.resume.npz')
+        import os
+        self.device_loop = sampler_config.getboolean(
+            'device_loop',
+            os.environ.get('VEGA_TPU_NS_DEVICE_LOOP', '1') == '1')
+        self._evolve_fn = None
 
     # ------------------------------------------------------------------
     def _batch_log_lik(self, theta):
@@ -141,6 +178,119 @@ class NestedSampler(Sampler):
             total_moves += float(done.sum())
         mean_steps = total_steps / max(total_moves, 1.0)
         return theta, logl, mean_steps
+
+    # ------------------------------------------------------------------
+    def _build_device_evolve(self):
+        """Jitted whole-evolution kernel: one device dispatch per NS
+        iteration instead of one per proposal batch.
+
+        Same constrained-slice algorithm as _slice_evolve (whitened
+        directions from the live-point Cholesky, Neal-2003 interval
+        shrinkage on L > l_min), restructured as
+        fori_loop(num_repeats) x fori_loop(max_shrink) around the
+        traceable batched likelihood. Chains that accepted keep
+        evaluating masked no-op proposals until the static max_shrink
+        trip count runs out — wasted FLOPs inside one dispatch are free
+        compared to the per-dispatch tunnel cost this removes.
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax import lax, random
+
+        batch_fn, statics, collapsed = \
+            self._batched.traceable_log_lik(self.names)
+        lo = jnp.array([self.limits[n][0] for n in self.names])
+        hi = jnp.array([self.limits[n][1] for n in self.names])
+        num_repeats = int(self.num_repeats)
+        max_shrink = int(self.max_shrink)
+
+        def loglik_u(u, st, co):
+            return batch_fn(lo + u * (hi - lo), st, co)
+
+        def evolve(u0, l_min, width, chol, key, st, co):
+            n = u0.shape[0]
+            logl0 = loglik_u(u0, st, co)
+
+            def repeat_body(_r, carry):
+                u, logl, key, steps, moves = carry
+                key, k_dir, k_pos = random.split(key, 3)
+                d = random.normal(k_dir, u.shape) @ chol.T
+                u0r = random.uniform(k_pos, (n,))
+                left0 = -width * u0r
+                right0 = left0 + width
+                done0 = jnp.zeros(n, dtype=bool)
+
+                def shrink_body(_s, c2):
+                    u_c, logl_c, left, right, done, key_c, steps_c = c2
+                    key_c, k_t = random.split(key_c)
+                    t = random.uniform(k_t, (n,), minval=left,
+                                       maxval=right)
+                    t = jnp.where(done, 0.0, t)
+                    prop = u_c + t[:, None] * d
+                    inside = jnp.all((prop > 0) & (prop < 1), axis=1)
+                    prop_c = jnp.clip(prop, 1e-12, 1 - 1e-12)
+                    logl_prop = loglik_u(prop_c, st, co)
+                    ok = inside & (logl_prop > l_min) & ~done
+                    u_c = jnp.where(ok[:, None], prop, u_c)
+                    logl_c = jnp.where(ok, logl_prop, logl_c)
+                    steps_c = steps_c + jnp.sum(~done, dtype=jnp.int32)
+                    done = done | ok
+                    rej = ~done
+                    left = jnp.where(rej & (t < 0), t, left)
+                    right = jnp.where(rej & (t >= 0), t, right)
+                    return (u_c, logl_c, left, right, done, key_c,
+                            steps_c)
+
+                u, logl, _l, _r, done, key, steps = lax.fori_loop(
+                    0, max_shrink, shrink_body,
+                    (u, logl, left0, right0, done0, key, steps))
+                return (u, logl, key, steps,
+                        moves + jnp.sum(done, dtype=jnp.int32))
+
+            u, logl, _key, steps, moves = lax.fori_loop(
+                0, num_repeats, repeat_body,
+                (u0, logl0, key, jnp.asarray(0, jnp.int32),
+                 jnp.asarray(0, jnp.int32)))
+            return u, logl, steps, moves
+
+        jit_evolve = jax.jit(evolve)
+
+        def run_evolve(start_u, l_min, width, chol, it):
+            import jax
+            key = random.key(self.seed * 1_000_003 + it)
+            ctx = None
+            if self._batched.device == 'cpu' \
+                    and jax.default_backend() != 'cpu':
+                ctx = jax.default_device(jax.devices('cpu')[0])
+            if ctx is not None:
+                with ctx:
+                    out = jit_evolve(jnp.asarray(start_u), float(l_min),
+                                     float(width), jnp.asarray(chol),
+                                     key, statics, collapsed)
+            else:
+                out = jit_evolve(jnp.asarray(start_u), float(l_min),
+                                 float(width), jnp.asarray(chol),
+                                 key, statics, collapsed)
+            u, logl, steps, moves = (np.asarray(x) for x in out)
+            # every proposal row is evaluated on device (masked rows
+            # included) plus the seed-point evaluation
+            self._n_evals = (getattr(self, '_n_evals', 0)
+                             + start_u.shape[0] * (1 + num_repeats
+                                                   * max_shrink))
+            mean_steps = float(steps) / max(float(moves), 1.0)
+            return u, logl, mean_steps
+
+        return run_evolve
+
+    def _slice_evolve_device(self, start, l_min, width, rng, it):
+        """Fused on-device slice evolution (see _build_device_evolve)."""
+        del rng                      # device path draws from jax.random
+        if self._evolve_fn is None:
+            self._evolve_fn = self._build_device_evolve()
+        cov = np.cov(self.live_u, rowvar=False)
+        cov += 1e-12 * np.eye(start.shape[1])
+        chol = np.linalg.cholesky(cov)
+        return self._evolve_fn(start, l_min, width, chol, it)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -241,8 +391,12 @@ class NestedSampler(Sampler):
             survivors = order[k:]
             seeds = survivors[rng.integers(0, len(survivors), size=k)]
             if self.proposal == 'slice':
-                new_u, new_logl, diag = self._slice_evolve(
-                    self.live_u[seeds], l_min, scale, rng)
+                if self._batched is not None and self.device_loop:
+                    new_u, new_logl, diag = self._slice_evolve_device(
+                        self.live_u[seeds], l_min, scale, rng, it)
+                else:
+                    new_u, new_logl, diag = self._slice_evolve(
+                        self.live_u[seeds], l_min, scale, rng)
                 # Adapt the bracket width towards ~2-3 shrink steps
                 # per slice move
                 if diag > 4.0:

@@ -48,7 +48,9 @@ def main(argv=None):
 
         print('Running Polychord' if HAS_POLYCHORD
               else 'Running native nested sampler (Polychord settings)')
-        log_lik = vega.log_lik if HAS_POLYCHORD else batched.log_lik
+        # the native fallback accepts the BatchedLikelihood itself and
+        # fuses the per-iteration evolution on device (nested.py)
+        log_lik = vega.log_lik if HAS_POLYCHORD else batched
         sampler = Polychord(vega.main_config['Polychord'], sampling_params,
                             log_lik, vega.corr_num_marg_modes)
         sampler.run()
@@ -67,7 +69,7 @@ def main(argv=None):
 
         print('Running native nested sampler')
         sampler = NestedSampler(vega.main_config['NestedJax'],
-                                sampling_params, batched.log_lik,
+                                sampling_params, batched,
                                 vega.corr_num_marg_modes)
         sampler.run()
 

@@ -755,6 +755,12 @@ class VegaInterface:
                 degree = 32
             elif name.startswith('drp_'):
                 degree = 12
+            elif name.startswith('sigma_velo_disp_'):
+                # smooth velocity-dispersion damping: spectrally
+                # converged well below 12 nodes over the default [0, 15]
+                # sampling window (tests/test_grid_collapse.py,
+                # benchmarks/table6_accuracy)
+                degree = 12
             else:
                 degree = 16
         ref = min(max(value, lo), hi)
@@ -775,24 +781,27 @@ class VegaInterface:
         if cache_key in self._grid_cache:
             return self._grid_cache[cache_key]
 
+        from .gridcollapse import plan_components
+
         dims = [self._grid_dim_setup(n) for n in grid_names]
         degrees = [d[2] for d in dims]
-        if len(grid_names) >= 3:
-            # keep the node tensor affordable in 3+ dimensions
-            # (e.g. ap, at, drp_QSO): trim the default alpha degree
-            # 32 -> 24 unless explicitly configured (24^2 x 12 = 6912
-            # nodes for the DR16 combined (ap, at, drp_QSO) case)
-            degrees = [24 if (d == 32
-                              and self._control_get(f'grid-nodes-{n}')
-                              is None) else d
-                       for n, d in zip(grid_names, degrees)]
         spec = GridSpec(grid_names, [d[0] for d in dims],
                         [d[1] for d in dims], degrees,
                         [d[3] for d in dims])
+        # Node-grid schedule: one full tensor when affordable, else the
+        # anisotropic combination (pairs at full resolution, higher
+        # interactions at mid level) — the sweep cost of the 3-4-dim
+        # Table-6 BAO regime drops from prod(degrees) to a few thousand
+        # dense evaluations (gridcollapse.plan_components).
+        comb_mode = self._control_get('grid-combination', 'auto')
+        comb_order = int(self._control_get('grid-interaction-order', 3))
+        components = plan_components(spec, mode=comb_mode,
+                                     order=comb_order)
+        sweep_nodes = sum(int(np.prod(degs)) for degs, _ in components)
         max_nodes = int(os.environ.get('VEGA_TPU_GRID_MAX_NODES', 40000))
-        if spec.n_nodes > max_nodes:
-            print(f'INFO: grid collapse disabled: {spec} has '
-                  f'{spec.n_nodes} nodes > {max_nodes} '
+        if sweep_nodes > max_nodes:
+            print(f'INFO: grid collapse disabled: {spec} needs '
+                  f'{sweep_nodes} swept nodes > {max_nodes} '
                   '(VEGA_TPU_GRID_MAX_NODES); using the dense path')
             self._grid_cache[cache_key] = {}
             return {}
@@ -815,7 +824,8 @@ class VegaInterface:
             cache_dir = payload_cache_dir()
             if cache_dir is not None:
                 fp = payload_fingerprint(self, sorted(key), spec,
-                                         mode_budget, svd_tol)
+                                         mode_budget, svd_tol,
+                                         components=components)
                 os.makedirs(cache_dir, exist_ok=True)
                 disk_path = os.path.join(cache_dir, f'grid_{fp}.npz')
                 if os.path.exists(disk_path):
@@ -829,7 +839,8 @@ class VegaInterface:
 
         payload = build_grid_payload(
             self, sorted(key), grid_names, spec,
-            svd_tol=svd_tol, mode_budget=mode_budget)
+            svd_tol=svd_tol, mode_budget=mode_budget,
+            components=components)
         if len(payload) <= 1:       # only '__grid__': nothing factored
             payload = {}
         elif disk_path is not None:
