@@ -819,14 +819,28 @@ def build_grid_payload(vega, sample_names, grid_names, spec,
     nodes_padded = np.pad(nodes, [(0, pad), (0, 0)], mode='edge')
     node_chunks = nodes_padded.reshape(-1, sweep_chunk, nodes.shape[1])
 
-    # Execute on the host CPU backend: runs once, compiles locally in
-    # seconds, exact host f64 (same policy as get_collapsed).
+    # Execution backend. Default 'cpu': runs once, compiles locally in
+    # seconds, exact host f64 (same policy as get_collapsed) — right
+    # for the 1-2 dim production sweeps (~1k nodes). The 3+ dim
+    # combination schedules sweep O(10k) nodes of the full dense
+    # collapse, >30 min on one host core, so
+    # VEGA_TPU_GRID_SWEEP_DEVICE=accelerator runs the whole chunked
+    # sweep as ONE jitted lax.map dispatch on the accelerator instead
+    # (f64 stays f64 — XLA:TPU emulates f64 matmuls; the payload is
+    # disk-cached either way, so this is a cold-build cost knob, not an
+    # accuracy one).
+    sweep_device = os.environ.get('VEGA_TPU_GRID_SWEEP_DEVICE', 'cpu')
+    if sweep_device not in ('cpu', 'accelerator'):
+        raise ValueError(
+            f'VEGA_TPU_GRID_SWEEP_DEVICE={sweep_device!r}: '
+            "use 'cpu' or 'accelerator'")
     fn = jax.jit(sweep)
     try:
         cpu = jax.devices('cpu')[0]
     except Exception:                                       # pragma: no cover
         cpu = None
-    if cpu is not None and jax.default_backend() != 'cpu':
+    if sweep_device == 'cpu' and cpu is not None \
+            and jax.default_backend() != 'cpu':
         with jax.default_device(cpu):
             payload_nodes, c0s, bad = fn(
                 jnp.asarray(node_chunks), base_sampled, data_vecs,
