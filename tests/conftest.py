@@ -19,10 +19,14 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
-# NOTE: the XLA persistent compilation cache (jax_compilation_cache_dir)
-# was evaluated for the compile-dominated slow tier and rejected on this
+# The XLA persistent compilation cache (jax_compilation_cache_dir) was
+# evaluated for the compile-dominated slow tier and rejected on this
 # image: XLA:CPU AOT reload reports a compile-host/run-host machine-
 # feature mismatch (+prefer-no-scatter/+prefer-no-gather), warns of
 # possible SIGILL, and measured SLOWER than a fresh compile. The
-# grid-payload disk cache (gridcollapse.payload_cache_dir) covers the
-# expensive node sweeps instead.
+# package enables the cache by default (it IS a win on the axon TPU
+# transport), so explicitly opt the CPU test tier out before any
+# vega_tpu import; the grid-payload disk cache
+# (gridcollapse.payload_cache_dir) covers the expensive node sweeps
+# instead.
+os.environ['VEGA_TPU_COMP_CACHE'] = '0'

@@ -711,7 +711,8 @@ def component_nodes(spec, degrees):
 # --------------------------------------------------------------------------
 def build_grid_payload(vega, sample_names, grid_names, spec,
                        sweep_chunk=None, svd_tol=None, mode_budget=None,
-                       components=None, n_validate=None):
+                       components=None, n_validate=None,
+                       checkpoint_dir=None):
     """Run the collapse sweep over the node grid(s) and build the
     per-correlation payloads.
 
@@ -756,6 +757,13 @@ def build_grid_payload(vega, sample_names, grid_names, spec,
     DR16-subset config). Default 2e-4 (env VEGA_TPU_GRID_MODE_BUDGET /
     [control] grid-mode-budget), subdominant to the ~4e-3
     node-convergence error; 0 disables truncation.
+
+    checkpoint_dir: directory for per-chunk-group sweep checkpoints
+    (host sweep only). Completed groups are written as part files and
+    reloaded on retry, so an interrupted multi-hour combination sweep
+    resumes where it stopped instead of starting over; the caller
+    removes the directory once the final payload is persisted
+    (VegaInterface.get_collapsed keys it by the payload fingerprint).
     """
     from .factored import grid_trace
     from .statics import STATICS
@@ -828,27 +836,124 @@ def build_grid_payload(vega, sample_names, grid_names, spec,
     # sweep as ONE jitted lax.map dispatch on the accelerator instead
     # (f64 stays f64 — XLA:TPU emulates f64 matmuls; the payload is
     # disk-cached either way, so this is a cold-build cost knob, not an
-    # accuracy one).
+    # accuracy one). Measured on THIS image's tunneled v5e (2026-08-21):
+    # the full-config sweep graph ran out of HBM at chunk 32 (19.8 G vs
+    # 15.75 G: XLA keeps a f32[8,32,8,1000,814] mu_k-grid temp live
+    # across the map) and crashed the remote TPU worker at chunk 8 —
+    # keep the default host sweep + disk cache there; on a directly
+    # attached chip the knob is worth trying first.
     sweep_device = os.environ.get('VEGA_TPU_GRID_SWEEP_DEVICE', 'cpu')
     if sweep_device not in ('cpu', 'accelerator'):
         raise ValueError(
             f'VEGA_TPU_GRID_SWEEP_DEVICE={sweep_device!r}: '
             "use 'cpu' or 'accelerator'")
-    fn = jax.jit(sweep)
     try:
         cpu = jax.devices('cpu')[0]
     except Exception:                                       # pragma: no cover
         cpu = None
-    if sweep_device == 'cpu' and cpu is not None \
-            and jax.default_backend() != 'cpu':
-        with jax.default_device(cpu):
-            payload_nodes, c0s, bad = fn(
-                jnp.asarray(node_chunks), base_sampled, data_vecs,
-                STATICS.host_tree())
-    else:
+    if sweep_device == 'accelerator':
+        # one jitted lax.map dispatch on the accelerator
+        fn = jax.jit(sweep)
         payload_nodes, c0s, bad = fn(
             jnp.asarray(node_chunks), base_sampled, data_vecs,
             STATICS.device_tree())
+    else:
+        # Host sweep: jit ONE chunk and loop chunks in Python. Marginal
+        # dispatch cost is microseconds against the ~seconds/chunk of
+        # compute, and it buys what a >1 h sweep (the 3+-dim
+        # combination schedules on a small host) actually needs:
+        # progress visibility and RESUMABILITY — completed chunk groups
+        # are checkpointed to ``checkpoint_dir`` (keyed by the payload
+        # fingerprint, see get_collapsed) and reloaded instead of
+        # re-swept when an interrupted process retries.
+        import time
+        one = jax.jit(
+            lambda chunk, base, dvecs, statics: jax.vmap(
+                node_fn, in_axes=(0, None, None, None),
+                out_axes=(0, None, 0))(chunk, base, dvecs, statics))
+        group = int(os.environ.get('VEGA_TPU_GRID_SWEEP_GROUP', 16))
+        n_chunks = node_chunks.shape[0]
+        if checkpoint_dir is not None:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+
+        ctx = (jax.default_device(cpu)
+               if cpu is not None and jax.default_backend() != 'cpu'
+               else None)
+        statics_tree = (STATICS.host_tree() if ctx is not None
+                        else STATICS.device_tree())
+
+        part_payloads, part_c0s, part_bad = [], [], []
+        t0_sweep = time.time()
+        done_chunks = 0
+        for g0 in range(0, n_chunks, group):
+            g1 = min(g0 + group, n_chunks)
+            part_path = None
+            if checkpoint_dir is not None:
+                part_path = os.path.join(
+                    checkpoint_dir,
+                    f'part_{g0:06d}_{g1 - g0}x{sweep_chunk}.npz')
+            if part_path is not None and os.path.exists(part_path):
+                with np.load(part_path) as z:
+                    pp = {}
+                    for k in z.files:
+                        if k.startswith('p::'):
+                            _, corr, piece = k.split('::')
+                            pp.setdefault(corr, {})[piece] = z[k]
+                    part_payloads.append(pp)
+                    part_c0s.append({k[3:]: z[k] for k in z.files
+                                     if k.startswith('c::')})
+                    part_bad.append(z['bad'])
+                done_chunks = g1
+                continue
+
+            grp_p, grp_c, grp_b = [], [], []
+            for ci in range(g0, g1):
+                chunk = jnp.asarray(node_chunks[ci])
+                if ctx is not None:
+                    with ctx:
+                        p, c, b = one(chunk, base_sampled, data_vecs,
+                                      statics_tree)
+                else:
+                    p, c, b = one(chunk, base_sampled, data_vecs,
+                                  statics_tree)
+                grp_p.append(jax.tree_util.tree_map(np.asarray, p))
+                grp_c.append({k: np.asarray(v) for k, v in c.items()})
+                grp_b.append(np.asarray(b))
+            pp = {corr: {piece: np.concatenate(
+                      [g[corr][piece] for g in grp_p], axis=0)
+                  for piece in grp_p[0][corr]}
+                  for corr in grp_p[0]}
+            cc = {k: np.stack([g[k] for g in grp_c]) for k in grp_c[0]}
+            bb = np.concatenate(grp_b)
+            part_payloads.append(pp)
+            part_c0s.append(cc)
+            part_bad.append(bb)
+            if part_path is not None:
+                arrays = {'bad': bb}
+                for corr, pieces in pp.items():
+                    for piece, arr in pieces.items():
+                        arrays[f'p::{corr}::{piece}'] = arr
+                for corr, arr in cc.items():
+                    arrays[f'c::{corr}'] = arr
+                tmp = f'{part_path}.{os.getpid()}.tmp'
+                with open(tmp, 'wb') as fh:
+                    np.savez(fh, **arrays)  # file object: no suffix magic
+                os.replace(tmp, part_path)
+            done_chunks = g1
+            elapsed = time.time() - t0_sweep
+            print(f'INFO: grid sweep {done_chunks}/{n_chunks} chunks '
+                  f'({elapsed / max(done_chunks, 1):.2f} s/chunk, '
+                  f'~{elapsed / done_chunks * (n_chunks - done_chunks):.0f}'
+                  ' s left)', file=sys.stderr)
+
+        payload_nodes = {
+            corr: {piece: np.concatenate(
+                       [p[corr][piece] for p in part_payloads], axis=0)
+                   for piece in part_payloads[0][corr]}
+            for corr in part_payloads[0]}
+        c0s = {k: np.concatenate([c[k] for c in part_c0s], axis=0)
+               for k in part_c0s[0]}
+        bad = np.concatenate(part_bad)
 
     bad = np.asarray(bad).reshape(-1)[:n_nodes]
     if bad.any():

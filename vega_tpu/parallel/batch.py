@@ -63,10 +63,12 @@ class BatchedLikelihood:
         wall-clock"): when the likelihood is served by the basis/grid
         collapse the per-eval graph is coefficient-sized, and on this
         image's tunneled accelerator the host CPU matches the remote
-        chip at sampler batch widths (measured: 28.5k vs 3.4k evals/s
-        on the NS loop) while compiling in seconds instead of the
-        O(200 s) remote cold compile. On directly-attached hardware
-        keep the default."""
+        chip at sampler batch widths when the sampler loop is
+        host-driven (measured: 28.5k vs 3.4k evals/s on the per-call
+        NS loop; the fused on-device evolution in samplers/nested.py
+        removes that penalty — 57.4k evals/s on the same chip) while
+        compiling in seconds instead of the O(200 s) remote cold
+        compile. On directly-attached hardware keep the default."""
         import os
         self.vega = vega
         self.device = device or os.environ.get(

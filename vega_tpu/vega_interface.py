@@ -840,11 +840,17 @@ class VegaInterface:
         payload = build_grid_payload(
             self, sorted(key), grid_names, spec,
             svd_tol=svd_tol, mode_budget=mode_budget,
-            components=components)
+            components=components,
+            checkpoint_dir=(None if disk_path is None
+                            else disk_path + '.sweep'))
         if len(payload) <= 1:       # only '__grid__': nothing factored
             payload = {}
         elif disk_path is not None:
             save_payload(disk_path, payload)
+        if disk_path is not None:
+            # sweep checkpoints are superseded by the saved payload
+            import shutil
+            shutil.rmtree(disk_path + '.sweep', ignore_errors=True)
         # host (numpy) payload cached; device copies via _device_collapsed
         self._grid_cache[cache_key] = payload
         return payload
