@@ -272,7 +272,7 @@ PAYLOAD_CACHE_VERSION = 3
 
 
 def payload_fingerprint(vega, sample_names, spec, mode_budget, svd_tol,
-                        components=None):
+                        components=None, extra=None):
     """Content hash of everything the grid payload depends on: the full
     resolved configuration, the external array content the config only
     names by path (fiducial Pk template, distortion matrices, metal
@@ -356,6 +356,11 @@ def payload_fingerprint(vega, sample_names, spec, mode_budget, svd_tol,
         components = plan_components(spec)
     h.update(repr((tuple(components),
                    os.environ.get('VEGA_TPU_GRID_VALIDATE', ''))).encode())
+    # caller-supplied extra content (e.g. post-init-mutated sampling
+    # limits, which reach the payload through measure_dc_max); None —
+    # the common case — hashes nothing, keeping existing entries valid
+    if extra is not None:
+        h.update(repr(extra).encode())
     return h.hexdigest()
 
 

@@ -101,6 +101,15 @@ class VegaInterface:
         self.params = self._read_parameters(self.corr_items,
                                             self.main_config['parameters'])
         self.sample_params = self._read_sample(self.main_config['sample'])
+        # Snapshot of the config-derived sampling limits: the grid
+        # payload depends on them through measure_dc_max, but the
+        # payload fingerprint hashes the CONFIG, so a programmatic
+        # post-init mutation (vega.sample_params['limits'][...] = ...)
+        # must be detected and folded into the fingerprint explicitly
+        # (_get_grid_collapsed) or a stale cached payload could serve.
+        self._config_limits = {
+            k: tuple(v) if isinstance(v, (tuple, list)) else v
+            for k, v in self.sample_params['limits'].items()}
 
         # Growth rate handling (reference: vega_interface.py:90-107)
         use_template_growth = True
@@ -823,9 +832,19 @@ class VegaInterface:
         if not self.monte_carlo:
             cache_dir = payload_cache_dir()
             if cache_dir is not None:
+                # fold programmatically-mutated sampling limits into the
+                # fingerprint (config-derived limits hash to nothing, so
+                # existing cache entries stay valid)
+                current_limits = {
+                    k: tuple(v) if isinstance(v, (tuple, list)) else v
+                    for k, v in self.sample_params['limits'].items()}
+                extra = (None if current_limits
+                         == getattr(self, '_config_limits', current_limits)
+                         else repr(sorted(current_limits.items())))
                 fp = payload_fingerprint(self, sorted(key), spec,
                                          mode_budget, svd_tol,
-                                         components=components)
+                                         components=components,
+                                         extra=extra)
                 os.makedirs(cache_dir, exist_ok=True)
                 disk_path = os.path.join(cache_dir, f'grid_{fp}.npz')
                 if os.path.exists(disk_path):
