@@ -116,7 +116,11 @@ def main():
     # sigma_velo_disp_lorentz_QSO) served by the 4-dim grid collapse
     # (anisotropic combination schedule, production domains: +/-0.25
     # alphas, drp [-3, 3], sigma [0, 15]; accuracy measured by
-    # benchmarks/table6_accuracy.py). Requires the reference checkout.
+    # benchmarks/table6_accuracy.py: max |delta chi2| vs dense 1.6e-3
+    # with all 13 varied). Measured 2026-08-21 on the v5e: 33683 f64
+    # evals/s/chip at batch 8192 (payload from the disk cache in 16 s;
+    # the one-time 7.7k-node sweep is ~1.9 h on this 1-core host,
+    # checkpointed + resumable). Requires the reference checkout.
     bench_table6 = os.environ.get('VEGA_TPU_BENCH_TABLE6', '0') == '1'
 
     # Prefer the reference DR16-subset config (the BASELINE headline).
