@@ -20,16 +20,17 @@ of the two regimes from benchmarks/reference_baseline.json (generous
 to the reference), falling back to a conservative 10 evals/s if the
 measurement file is missing.
 
-Measured on the v5e (2026-08-20, per-call result-fetch timing — see
+Measured on the v5e (2026-08-21, per-call result-fetch timing — see
 docs/performance.md "Timing methodology"; every timed call here ships
 the batch to device and fetches the chi^2 vector back to host), f64:
-31065 evals/s/chip at batch 8192 with (ap, at, bias_eta_LYA, beta_LYA)
-all in the batch — the BAO-sampling regime, served by the Chebyshev
-grid collapse (vega_tpu/gridcollapse.py) AT THE SHIPPED PRODUCTION
-SETTINGS (+/-0.25 alpha domain, 32 nodes/dim; rounds 2-3 benched a
-narrowed +/-0.06/20-node domain — the validated mode truncation has
-since made the wide domain the CHEAPER one per eval, at measured
-max |delta chi^2| vs dense = 1.7e-10 on this config,
+37233 evals/s/chip at batch 8192 with (ap, at, bias_eta_LYA, beta_LYA)
+all in the batch (31065 on 2026-08-20 before the double-single MXU
+matmuls became the default) — the BAO-sampling regime, served by the
+Chebyshev grid collapse (vega_tpu/gridcollapse.py) AT THE SHIPPED
+PRODUCTION SETTINGS (+/-0.25 alpha domain, 32 nodes/dim; rounds 2-3
+benched a narrowed +/-0.06/20-node domain — the validated mode
+truncation has since made the wide domain the CHEAPER one per eval, at
+measured max |delta chi^2| vs dense = 1.7e-10 on this config,
 benchmarks/grid_accuracy*.json). The
 default batch is 8192: the scale MC fleets, chi^2 scans and
 nested-sampling live-point batches actually present, which also
